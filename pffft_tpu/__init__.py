@@ -1,0 +1,81 @@
+"""pffft_tpu: a TPU-native FFT / fast-convolution / DSP framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+marton78/pffft (PFFFT + PFFASTCONV + PFDSP + validation/bench harness):
+batched mixed-radix real & complex FFTs on the MXU, overlap-save FFT
+convolution, NCO mixers / carrier generators / CIC decimation, and
+mesh-sharded large-N / streaming execution over ICI.
+
+Quick start::
+
+    import jax.numpy as jnp
+    import pffft_tpu as pf
+
+    plan = pf.new_setup(1024, pf.REAL)
+    x = jnp.ones((8, 1024))            # batch of 8 signals
+    spec = pf.transform_ordered(plan, x, pf.FORWARD)   # [8, 512] complex
+    back = pf.transform_ordered(plan, spec, pf.BACKWARD) / plan.n
+"""
+
+from .plan import (
+    Plan,
+    Direction,
+    TransformKind,
+    FORWARD,
+    BACKWARD,
+    REAL,
+    COMPLEX,
+    new_setup,
+    min_fft_size,
+    is_valid_size,
+    nearest_transform_size,
+    next_power_of_two,
+    is_power_of_two,
+    simd_size,
+    simd_arch,
+)
+from .fft import (
+    transform,
+    transform_ordered,
+    zreorder,
+    zconvolve_accumulate,
+    zconvolve_no_accu,
+    cfft,
+    icfft,
+    rfft_packed,
+    irfft_packed,
+    spectrum_unpack,
+    spectrum_pack,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Plan",
+    "Direction",
+    "TransformKind",
+    "FORWARD",
+    "BACKWARD",
+    "REAL",
+    "COMPLEX",
+    "new_setup",
+    "min_fft_size",
+    "is_valid_size",
+    "nearest_transform_size",
+    "next_power_of_two",
+    "is_power_of_two",
+    "simd_size",
+    "simd_arch",
+    "transform",
+    "transform_ordered",
+    "zreorder",
+    "zconvolve_accumulate",
+    "zconvolve_no_accu",
+    "cfft",
+    "icfft",
+    "rfft_packed",
+    "irfft_packed",
+    "spectrum_unpack",
+    "spectrum_pack",
+    "__version__",
+]

@@ -1,0 +1,226 @@
+"""Public functional FFT API (pffft.h parity surface, TPU-native semantics).
+
+Mirrors the reference C ABI (/root/reference/include/pffft/pffft.h:124-250):
+
+    transform(plan, x, direction)          <-> pffft_transform (internal order)
+    transform_ordered(plan, x, direction)  <-> pffft_transform_ordered
+    zreorder(plan, z, direction)           <-> pffft_zreorder
+    zconvolve_accumulate(plan, a, b, ab, scaling) <-> pffft_zconvolve_accumulate
+    zconvolve_no_accu(plan, a, b, scaling) <-> pffft_zconvolve_no_accu
+
+Differences (deliberate, JAX-native):
+  * arrays are jnp arrays with arbitrary leading batch dims; transforms are
+    batched as a first-class axis (the TPU replacement for the reference's
+    "call it from many threads" model, pffft.h:102-106);
+  * complex spectra are complex dtype arrays, not interleaved float pairs;
+    real spectra are [..., N/2] complex with pffft's packed bin0
+    (F(0) + i F(N/2), pffft.h:144-155);
+  * no work buffers: XLA owns scratch;
+  * functions are pure; "in-place" (input==output aliasing, allowed by the
+    C API) is expressed by donating arguments to jit.
+
+Transforms are unscaled: backward(forward(x)) == N * x (pffft.h:134).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import plan as _plan
+from .ops import real as _real
+from .ops import stages as _stages
+
+Plan = _plan.Plan
+FORWARD = _plan.FORWARD
+BACKWARD = _plan.BACKWARD
+REAL = _plan.REAL
+COMPLEX = _plan.COMPLEX
+
+__all__ = [
+    "transform",
+    "transform_ordered",
+    "zreorder",
+    "zconvolve_accumulate",
+    "zconvolve_no_accu",
+    "rfft_packed",
+    "irfft_packed",
+    "cfft",
+    "icfft",
+    "spectrum_unpack",
+    "spectrum_pack",
+]
+
+
+# ---------------------------------------------------------------------------
+# Core (traced) implementations
+# ---------------------------------------------------------------------------
+
+
+def _complex_transform(p: Plan, x: jax.Array, backward: bool, ordered: bool) -> jax.Array:
+    x = x.astype(p.cdtype.type)
+    return _stages.cfft_stages(x, p.stages, backward=backward, ordered=ordered)
+
+
+def _real_forward(p: Plan, x: jax.Array) -> jax.Array:
+    z = _real.pack_real_input(x.astype(p.dtype.type), p.cdtype.type)
+    zf = _stages.cfft_stages(z, p.stages, backward=False, ordered=True)
+    return _real.real_forward_split(zf, p.real_twiddle)
+
+
+def _real_backward(p: Plan, s: jax.Array) -> jax.Array:
+    z2 = _real.real_backward_split(s.astype(p.cdtype.type), p.real_twiddle)
+    w = _stages.cfft_stages(z2, p.stages, backward=True, ordered=True)
+    return _real.interleave_to_real(w, p.dtype.type)
+
+
+@functools.lru_cache(maxsize=1024)
+def _jitted(plan: Plan, backward: bool, ordered: bool):
+    """One compiled callable per (plan, direction, layout)."""
+
+    if plan.is_real:
+        if backward:
+            fn = lambda s: _real_backward(plan, s)
+        else:
+            fn = lambda x: _real_forward(plan, x)
+        # real internal layout == canonical for this engine (the split step
+        # naturally emits canonical order); zreorder is the identity there,
+        # matching the *contract* of pffft.h:159-182 (any self-consistent
+        # internal order is allowed, convolution + reorder must compose).
+        return jax.jit(fn)
+    if backward and not ordered:
+        # "unordered" always refers to the z-domain side: the backward
+        # transform *accepts* internal-layout spectrum input.  The reorder
+        # transpose fuses into the first backward stage under XLA.
+        fn = lambda z: _complex_transform(
+            plan,
+            _stages.reorder_spectrum(z, plan.factors, to_canonical=True),
+            True,
+            True,
+        )
+    else:
+        fn = lambda x: _complex_transform(plan, x, backward, ordered)
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def transform_ordered(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
+    """pffft_transform_ordered parity (pffft.h:168): canonical spectrum order.
+
+    REAL forward:  [..., N] real     -> [..., N/2] complex (packed bin0)
+    REAL backward: [..., N/2] complex -> [..., N] real (unscaled, = N*x)
+    COMPLEX:       [..., N] complex  -> [..., N] complex
+    """
+
+    d = _plan._coerce_direction(direction)
+    return _jitted(plan, d == BACKWARD, True)(x)
+
+
+def transform(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
+    """pffft_transform parity (pffft.h:159): internal (unordered) z-layout.
+
+    The internal layout is plan-defined: for complex multi-stage plans it is
+    the transpose-free output of the last stage (see ops/stages.py), the
+    order the TPU produces without the final shuffle pass; for real plans it
+    coincides with canonical order.  Use zreorder to map to/from canonical.
+    Pointwise spectral ops (zconvolve_*) work directly in this layout.
+    """
+
+    d = _plan._coerce_direction(direction)
+    if plan.is_real:
+        return _jitted(plan, d == BACKWARD, True)(x)
+    return _jitted(plan, d == BACKWARD, False)(x)
+
+
+def zreorder(plan: Plan, z: jax.Array, direction=FORWARD) -> jax.Array:
+    """pffft_zreorder parity (pffft.h:182).
+
+    FORWARD: internal -> canonical; BACKWARD: canonical -> internal.
+    """
+
+    d = _plan._coerce_direction(direction)
+    if plan.is_real:
+        return z
+    return _stages.reorder_spectrum(z, plan.factors, to_canonical=(d == FORWARD))
+
+
+def _zmul(plan: Plan, a: jax.Array, b: jax.Array, scaling) -> jax.Array:
+    """Pointwise spectral multiply in internal layout, with the real-packing
+    DC/Nyquist fixup (analog of FUNC_ZCONVOLVE's scalar lanes,
+    pffft_priv_impl.h:1534-1684: bin0 of a real spectrum holds two packed
+    real values which must multiply component-wise, not complex-wise)."""
+
+    ab = a * b
+    if plan.is_real:
+        dc = jnp.real(a[..., 0]) * jnp.real(b[..., 0])
+        nyq = jnp.imag(a[..., 0]) * jnp.imag(b[..., 0])
+        ab = ab.at[..., 0].set(dc + 1j * nyq)
+    return ab * jnp.asarray(scaling, dtype=plan.dtype.type)
+
+
+def zconvolve_no_accu(plan: Plan, dft_a: jax.Array, dft_b: jax.Array, scaling=1.0) -> jax.Array:
+    """pffft_zconvolve_no_accu parity (pffft.h:210): (a*b)*scaling."""
+
+    return _zmul(plan, dft_a, dft_b, scaling)
+
+
+def zconvolve_accumulate(
+    plan: Plan, dft_a: jax.Array, dft_b: jax.Array, dft_ab: jax.Array, scaling=1.0
+) -> jax.Array:
+    """pffft_zconvolve_accumulate parity (pffft.h:196): ab + (a*b)*scaling."""
+
+    return dft_ab + _zmul(plan, dft_a, dft_b, scaling)
+
+
+# ---------------------------------------------------------------------------
+# Convenience (JAX-idiomatic names and unpacked real spectra)
+# ---------------------------------------------------------------------------
+
+
+def cfft(plan: Plan, x: jax.Array) -> jax.Array:
+    """Forward complex FFT, canonical order (numpy convention, unscaled)."""
+
+    return transform_ordered(plan, x, FORWARD)
+
+
+def icfft(plan: Plan, x: jax.Array) -> jax.Array:
+    """Unscaled inverse complex FFT: icfft(cfft(x)) == N * x."""
+
+    return transform_ordered(plan, x, BACKWARD)
+
+
+def rfft_packed(plan: Plan, x: jax.Array) -> jax.Array:
+    """Forward real FFT with pffft bin0 packing: [..., N] -> [..., N/2]."""
+
+    return transform_ordered(plan, x, FORWARD)
+
+
+def irfft_packed(plan: Plan, s: jax.Array) -> jax.Array:
+    """Unscaled inverse of rfft_packed: [..., N/2] -> [..., N] (= N * x)."""
+
+    return transform_ordered(plan, s, BACKWARD)
+
+
+def spectrum_unpack(s: jax.Array) -> jax.Array:
+    """Packed real spectrum [..., H] -> standard rfft layout [..., H+1]
+    (DC ... Nyquist as separate bins, numpy.fft.rfft convention)."""
+
+    dc = jnp.real(s[..., :1]).astype(s.dtype)
+    nyq = jnp.imag(s[..., :1]).astype(s.dtype)
+    return jnp.concatenate([dc, s[..., 1:], nyq], axis=-1)
+
+
+def spectrum_pack(r: jax.Array) -> jax.Array:
+    """Standard rfft layout [..., H+1] -> pffft packed layout [..., H]."""
+
+    dc = jnp.real(r[..., 0])
+    nyq = jnp.real(r[..., -1])
+    return r[..., :-1].at[..., 0].set(dc + 1j * nyq)

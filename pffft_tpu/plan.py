@@ -1,0 +1,471 @@
+"""Transform plans: factorization, twiddle tables, validity helpers.
+
+TPU-native analog of the reference's ``PFFFT_Setup`` (see
+/root/reference/src/pffft_priv_impl.h:1051-1120 for the contract being
+mirrored: size validation, factor decomposition into {2,3,4,5}-smooth sizes,
+precomputed twiddles, read-only shareability).
+
+Design departure from the reference (deliberate, TPU-first): instead of
+4-lane SIMD butterflies over radix-2/3/4/5 passes, a plan factors N into a
+small number of *large* factors (each itself 2/3/5-smooth, up to
+``max_factor``).  Each stage is then a dense DFT-matrix contraction on the
+MXU plus an elementwise twiddle multiply on the VPU.  On TPU the MXU/HBM
+flop:byte ratio (~100+) makes dense-DFT factors of size up to ~128-256
+cheaper than extra memory passes, so "few fat stages" replaces "many thin
+radix passes".  This is the same idea as the reference's 4x4
+"SIMD-ification" finalize step (pffft_priv_impl.h:1195-1462), scaled from
+4 to MXU tile size.
+
+Twiddles are computed on host in float64 (numpy) and cast once, mirroring
+the reference's care with per-stage twiddle conditioning
+(pffft_priv_impl.h:932-1001) so the fp32 engine reaches the 140 dB dynamic
+range bound of tests/test_pffft.c.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "Direction",
+    "TransformKind",
+    "FORWARD",
+    "BACKWARD",
+    "REAL",
+    "COMPLEX",
+    "Plan",
+    "new_setup",
+    "min_fft_size",
+    "is_valid_size",
+    "nearest_transform_size",
+    "next_power_of_two",
+    "is_power_of_two",
+    "simd_size",
+    "simd_arch",
+    "decompose_smooth",
+    "plan_factors",
+]
+
+
+class Direction(enum.Enum):
+    """Transform direction (pffft_direction_t parity, pffft.h:112)."""
+
+    FORWARD = -1  # sign of the exponent: exp(-2i pi nk / N)
+    BACKWARD = +1
+
+
+class TransformKind(enum.Enum):
+    """Transform kind (pffft_transform_t parity, pffft.h:115)."""
+
+    REAL = "real"
+    COMPLEX = "complex"
+
+
+FORWARD = Direction.FORWARD
+BACKWARD = Direction.BACKWARD
+REAL = TransformKind.REAL
+COMPLEX = TransformKind.COMPLEX
+
+# The reference's SIMD width; kept as the unit of its size-validity contract
+# (pffft_priv_impl.h:78-98): complex N must be a multiple of SIMD^2 = 16,
+# real N a multiple of 2*SIMD^2 = 32, remaining factors only {2,3,5}.
+_REFERENCE_SIMD_SZ = 4
+
+# Maximum N accepted by the reference (int-overflow guard,
+# pffft_priv_impl.h:1069).  We keep the same cap for contract parity.
+_MAX_N = 1 << 26
+
+
+def simd_size() -> int:
+    """Parity helper for ``pffft_simd_size`` (pffft.h:213).
+
+    Returns the reference's SIMD width (4), which is what callers use to
+    compute valid-size granularity.  The TPU lane width is reported by
+    :func:`simd_arch` metadata instead.
+    """
+
+    return _REFERENCE_SIMD_SZ
+
+
+def simd_arch() -> str:
+    """Parity helper for ``pffft_simd_arch`` (pffft.h:216)."""
+
+    return "tpu-xla-mxu"
+
+
+def next_power_of_two(n: int) -> int:
+    """Bit-exact parity with pffft_next_power_of_two (pffft_common.c:25)."""
+
+    if n <= 0:
+        return 1
+    return 1 << (int(n - 1).bit_length())
+
+
+def is_power_of_two(n: int) -> bool:
+    """Parity with pffft_is_power_of_two (pffft_common.c)."""
+
+    return n > 0 and (n & (n - 1)) == 0
+
+
+def min_fft_size(kind: TransformKind = COMPLEX) -> int:
+    """Minimum supported N (pffft_min_fft_size parity, pffft.h:222).
+
+    complex: SIMD^2 = 16; real: 2*SIMD^2 = 32 (pffft_priv_impl.h:78-98).
+    """
+
+    kind = _coerce_kind(kind)
+    base = _REFERENCE_SIMD_SZ * _REFERENCE_SIMD_SZ
+    return 2 * base if kind == REAL else base
+
+
+def _smooth_235_quotient(n: int) -> int:
+    """Divide out all factors of 2, 3, 5; return the remaining quotient."""
+
+    for p in (2, 3, 5):
+        while n % p == 0:
+            n //= p
+    return n
+
+
+def is_valid_size(n: int, kind: TransformKind = COMPLEX) -> bool:
+    """Contract parity with pffft_is_valid_size (pffft.h:236).
+
+    N must be a positive multiple of min_fft_size whose remaining factors
+    are only 2, 3 and 5, and N <= 2^26.
+    """
+
+    kind = _coerce_kind(kind)
+    m = min_fft_size(kind)
+    if n <= 0 or n % m != 0 or n > _MAX_N:
+        return False
+    return _smooth_235_quotient(n // m) == 1
+
+
+def nearest_transform_size(n: int, kind: TransformKind = COMPLEX, higher: bool = True) -> int:
+    """Parity with pffft_nearest_transform_size (pffft.h:242).
+
+    Brute-force search for the nearest valid size, matching the reference's
+    semantics (search up when ``higher`` else down, clamping at the minimum).
+    """
+
+    kind = _coerce_kind(kind)
+    m = min_fft_size(kind)
+    if n < m:
+        return m
+    n = (n // m) * m if not higher else ((n + m - 1) // m) * m
+    step = m if higher else -m
+    while not is_valid_size(n, kind):
+        n += step
+        if n < m:
+            return m
+    return n
+
+
+def _coerce_kind(kind) -> TransformKind:
+    if isinstance(kind, TransformKind):
+        return kind
+    if isinstance(kind, str):
+        return TransformKind(kind.lower())
+    # Accept the C enum's integer values: 0 = REAL, 1 = COMPLEX (pffft.h:115)
+    if isinstance(kind, int):
+        return REAL if kind == 0 else COMPLEX
+    raise TypeError(f"invalid transform kind: {kind!r}")
+
+
+def _coerce_direction(direction) -> Direction:
+    if isinstance(direction, Direction):
+        return direction
+    if isinstance(direction, str):
+        s = direction.lower()
+        if s in ("forward", "fwd"):
+            return FORWARD
+        if s in ("backward", "bwd", "inverse", "inv"):
+            return BACKWARD
+        raise ValueError(f"invalid direction: {direction!r}")
+    # C enum integer values: 0 = FORWARD, 1 = BACKWARD (pffft.h:112)
+    if isinstance(direction, int):
+        return FORWARD if direction == 0 else BACKWARD
+    raise TypeError(f"invalid direction: {direction!r}")
+
+
+# ---------------------------------------------------------------------------
+# Factorization
+# ---------------------------------------------------------------------------
+
+
+def decompose_smooth(n: int) -> Tuple[int, ...]:
+    """Decompose n into prime factors from {2, 3, 5} (ascending).
+
+    Raises ValueError if n is not 2/3/5-smooth.  Analog of the reference's
+    ``decompose`` (pffft_priv_impl.h:903-928) without the radix-4 grouping,
+    which is a SIMD-era concern; stage grouping happens in plan_factors.
+    """
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    out = []
+    for p in (2, 3, 5):
+        while n % p == 0:
+            out.append(p)
+            n //= p
+    if n != 1:
+        raise ValueError("n has prime factors other than 2, 3, 5")
+    return tuple(out)
+
+
+def plan_factors(n: int, max_factor: int = 5) -> Tuple[int, ...]:
+    """Group the 2/3/5-smooth factorization of n into stage factors.
+
+    Policy: greedily build balanced factors no larger than ``max_factor``.
+    Each returned factor becomes one DFT-matrix contraction stage.
+
+    The default ``max_factor=5`` is an *accuracy* policy, measured against
+    the reference's carrier-injection bound (tests/test_pffft.c:52-61,
+    >= 140 dB spectral dynamic range in fp32): fp32 accumulation noise in a
+    radix-r dot grows with r, and radix<=5 chains measure 145-149 dB across
+    N = 32..2^20 while radix-8 mixes sit at ~140.0 (no margin) and
+    radix-64/128 dense stages at ~126 dB.  This mirrors the reference's
+    radix-4 preference (ntryh, pffft_priv_impl.h:904-928) -- small radices
+    are what keep fp32 FFTs clean.  Large ``max_factor`` (64-128) is the
+    throughput policy for the plain XLA path (fewer HBM passes, MXU-fat
+    matmuls) at a documented ~125 dB; the fused Pallas kernel gets both by
+    chaining small radices inside VMEM.
+    """
+
+    if n == 1:
+        return (1,)
+    primes = sorted(decompose_smooth(n), reverse=True)
+    # Number of stages needed at minimum
+    k = 1
+    while True:
+        target = n ** (1.0 / k)
+        if target <= max_factor:
+            break
+        k += 1
+    # Distribute primes over k buckets, largest-first into the smallest bucket,
+    # subject to the max_factor cap.
+    while True:
+        buckets = [1] * k
+        ok = True
+        for p in primes:
+            # place into smallest bucket that stays under cap
+            order = sorted(range(k), key=lambda i: buckets[i])
+            placed = False
+            for i in order:
+                if buckets[i] * p <= max_factor:
+                    buckets[i] *= p
+                    placed = True
+                    break
+            if not placed:
+                ok = False
+                break
+        if ok:
+            return tuple(sorted((b for b in buckets if b > 1), reverse=True) or (1,))
+        k += 1
+
+
+# ---------------------------------------------------------------------------
+# Twiddle tables
+# ---------------------------------------------------------------------------
+
+
+def _dft_matrix(r: int, sign: int, dtype) -> np.ndarray:
+    """Dense r x r DFT matrix W[i, t] = exp(sign * 2i pi * i * t / r).
+
+    Angles are reduced exactly in integer arithmetic before the float64
+    cos/sin evaluation, mirroring the conditioning of the reference's
+    twiddle setup (pffft_priv_impl.h:942-962) so large-N fp32 plans keep
+    the 140 dB test bound.
+    """
+
+    i = np.arange(r, dtype=np.int64)[:, None]
+    t = np.arange(r, dtype=np.int64)[None, :]
+    k = (i * t) % r  # exact integer reduction
+    ang = (2.0 * np.pi / r) * k.astype(np.float64)
+    m = np.cos(ang) + 1j * np.sin(ang) * sign
+    return m.astype(dtype)
+
+
+def _stage_twiddle(l: int, r: int, sign: int, dtype) -> np.ndarray:
+    """Stage twiddle T[k, i] = exp(sign * 2i pi * i * k / (l * r)).
+
+    Shape [l, r]; multiplies the input of the radix-r butterfly at Stockham
+    stage with completed-DFT length l (see ops/stages.py for the derivation).
+    """
+
+    period = l * r
+    k = np.arange(l, dtype=np.int64)[:, None]
+    i = np.arange(r, dtype=np.int64)[None, :]
+    e = (k * i) % period
+    ang = (2.0 * np.pi / period) * e.astype(np.float64)
+    m = np.cos(ang) + 1j * np.sin(ang) * sign
+    return m.astype(dtype)
+
+
+def _real_split_twiddle(n: int, sign: int, dtype) -> np.ndarray:
+    """Twiddles for the real<->complex split step of an N-point real FFT.
+
+    B[k] = exp(sign * 2i pi * k / N) for k = 0 .. N/4 (we exploit symmetry in
+    ops/real.py); computed in float64.
+    """
+
+    half = n // 2
+    k = np.arange(half, dtype=np.int64)
+    ang = (2.0 * np.pi / n) * k.astype(np.float64)
+    m = np.cos(ang) + 1j * np.sin(ang) * sign
+    return m.astype(dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class StageTables:
+    """Per-stage constants for one Stockham contraction stage."""
+
+    r: int  # factor (butterfly size)
+    l: int  # completed DFT length entering this stage
+    m: int  # remaining span after this stage (N / (l*r))
+    dft: np.ndarray  # [r, r] DFT matrix, forward sign
+    twiddle: np.ndarray  # [l, r] stage twiddle, forward sign
+
+
+@dataclasses.dataclass(frozen=True)
+class Plan:
+    """Read-only transform plan (PFFFT_Setup analog, thread/jit shareable).
+
+    For REAL kind, the complex engine runs at length N/2 and ``real_twiddle``
+    holds the split-step twiddles.  All tables are stored with FORWARD sign;
+    backward transforms conjugate on the fly (free on the VPU).
+    """
+
+    n: int
+    kind: TransformKind
+    dtype: np.dtype  # real scalar dtype (float32 / float64)
+    cdtype: np.dtype  # complex dtype (complex64 / complex128)
+    engine_n: int  # complex engine length (N for complex, N/2 for real)
+    factors: Tuple[int, ...]
+    stages: Tuple[StageTables, ...]
+    real_twiddle: Optional[np.ndarray]  # [N/2] for REAL kind else None
+
+    # --- constructors -----------------------------------------------------
+
+    @staticmethod
+    @functools.lru_cache(maxsize=256)
+    def _cached(n: int, kind: TransformKind, dtype_str: str, max_factor: int) -> "Plan":
+        dtype = np.dtype(dtype_str)
+        if dtype == np.float32:
+            cdtype = np.dtype(np.complex64)
+        elif dtype == np.float64:
+            cdtype = np.dtype(np.complex128)
+        else:
+            raise ValueError(f"unsupported dtype {dtype}; use float32 or float64")
+        engine_n = n // 2 if kind == REAL else n
+        factors = plan_factors(engine_n, max_factor=max_factor)
+        stages = []
+        l = 1
+        m = engine_n
+        for r in factors:
+            m //= r
+            stages.append(
+                StageTables(
+                    r=r,
+                    l=l,
+                    m=m,
+                    dft=_dft_matrix(r, -1, cdtype),
+                    twiddle=_stage_twiddle(l, r, -1, cdtype),
+                )
+            )
+            l *= r
+        real_tw = _real_split_twiddle(n, -1, cdtype) if kind == REAL else None
+        return Plan(
+            n=n,
+            kind=kind,
+            dtype=dtype,
+            cdtype=cdtype,
+            engine_n=engine_n,
+            factors=tuple(factors),
+            stages=tuple(stages),
+            real_twiddle=real_tw,
+        )
+
+    @staticmethod
+    def create(
+        n: int,
+        kind: TransformKind = COMPLEX,
+        dtype="float32",
+        *,
+        max_factor: int = 5,
+        strict: bool = True,
+    ) -> "Plan":
+        """Create a plan.
+
+        With ``strict=True`` (default), enforces the reference's size
+        contract exactly (pffft_new_setup validation,
+        pffft_priv_impl.h:1062-1078) so that ``is_valid_size(N) <=>
+        Plan.create(N) succeeds``.  With ``strict=False``, any 2/3/5-smooth
+        N >= 2 is accepted (the TPU engine itself has no SIMD granularity
+        constraint).
+        """
+
+        kind = _coerce_kind(kind)
+        if strict:
+            if not is_valid_size(n, kind):
+                raise ValueError(
+                    f"invalid transform size N={n} for {kind.value} transform; "
+                    f"N must be a multiple of {min_fft_size(kind)} with remaining "
+                    f"factors 2, 3, 5 and N <= 2^26 "
+                    f"(nearest valid: {nearest_transform_size(n, kind, True)})"
+                )
+        else:
+            if n < 2 or (n % 2 != 0 and kind == REAL):
+                raise ValueError(f"N={n} unsupported for {kind.value} transform")
+            decompose_smooth(n)  # raises if not smooth
+        return Plan._cached(int(n), kind, np.dtype(dtype).name, int(max_factor))
+
+    # --- helpers ----------------------------------------------------------
+
+    @property
+    def is_real(self) -> bool:
+        return self.kind == REAL
+
+    @property
+    def spectrum_size(self) -> int:
+        """Number of complex bins in the (packed) spectrum.
+
+        real: N/2 packed bins (bin0 = DC + i*Nyquist, pffft.h:144-155);
+        complex: N bins.
+        """
+
+        return self.n // 2 if self.is_real else self.n
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"Plan(N={self.n}, {self.kind.value}, {self.dtype.name}, "
+            f"factors={self.factors})"
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.n, self.kind, self.dtype.name, self.factors))
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Plan)
+            and self.n == other.n
+            and self.kind == other.kind
+            and self.dtype == other.dtype
+            and self.factors == other.factors
+        )
+
+
+def new_setup(n: int, kind=COMPLEX, dtype="float32", **kw) -> Plan:
+    """pffft_new_setup parity constructor (pffft.h:124).
+
+    Unlike the C API this raises ValueError (instead of returning NULL) on
+    invalid sizes; use :func:`is_valid_size` to pre-check.
+    """
+
+    return Plan.create(n, kind, dtype, **kw)
