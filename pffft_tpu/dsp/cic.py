@@ -1,0 +1,151 @@
+"""CIC digital downconverter (pf_cic parity).
+
+The reference (/root/reference/src/pf_cic.cpp:87-135) fuses a 64-bit-phase
+NCO (4096-entry int16 cosine table) with a 3-stage CIC decimator: three
+pipelined int64 integrators at the input rate and two combs at the output
+rate, gain 1/(32767*32767*R^3).
+
+TPU-native re-design: a pipelined integrator cascade is hostile to SIMD
+(loop-carried scalar dependencies) but the composite LTI system has a
+closed form.  With the reference's exact update order
+
+    step n: ig2 += ig1; ig1 += ig0; ig0 += x[n]      (ig2 reset per output)
+    out0_k = S_k - S_{k-1};  out1_k = out0_k - out0_{k-1}
+
+one shows S_k = C3[kR+R-3] - C3[kR-3] (C3 = triple cumsum), hence
+
+    out1_k = (x * b3)[k*R + R - 3],   b3 = boxcar_R ** (*3), len 3R-2
+
+i.e. the whole CIC is a strided FIR with the triple-boxcar kernel -- an MXU
+matmul over [K, 3R-2] frames.  This is bit-equivalent in exact arithmetic
+(the int64 integrators implement exactly this convolution); we compute in
+fp32 with normalized inputs, which meets the int16-table SNR of the
+reference.  The NCO matches the reference's table semantics (carrier
+m_c + i*m_d = cos(theta + pi/2) + i*cos(theta) = -sin + i*cos) with a
+32-bit fixed-point phase and exact VPU trig instead of the int16 table.
+
+Streaming state = NCO phase + the last 2R mixed samples (exactly the
+information the C integrator/comb registers carry, re-expressed for the
+FIR form); fresh state reproduces the C's zero-initialized registers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["CicState", "CicDDC", "cicddc_init", "cicddc_apply"]
+
+_TWO32 = float(1 << 32)
+_PHASE_SCALE = np.float32(2.0 * np.pi / _TWO32)
+
+
+class CicState(NamedTuple):
+    phase_fp: jax.Array  # uint32 NCO phase
+    hist: jax.Array      # [2R] complex64 mixed-sample history
+
+
+def _boxcar3(r: int) -> np.ndarray:
+    b = np.ones(r, dtype=np.float64)
+    return np.convolve(np.convolve(b, b), b)  # len 3R-2, integer-valued
+
+
+class CicDDC:
+    """cicddc_init analog: holds the static plan (factor, kernel)."""
+
+    def __init__(self, factor: int):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = int(factor)
+        # reversed kernel for the frame dot: out_k = frames[k] @ b3_rev
+        self.b3_rev = jnp.asarray(_boxcar3(self.factor)[::-1].astype(np.float32))
+        # integrator-gain compensation 1/R^3 (pf_cic.cpp:70); the extra
+        # 1/SHRT_MAX of the C gain is the int16-input normalization, applied
+        # per format in apply().
+        self.gain = np.float32(1.0 / self.factor**3)
+
+    def init_state(self) -> CicState:
+        return CicState(
+            phase_fp=jnp.zeros((), dtype=jnp.uint32),
+            hist=jnp.zeros(2 * self.factor, dtype=jnp.complex64),
+        )
+
+    # ------------------------------------------------------------------
+    def _mix(self, x: jax.Array, phase_fp, rate_fp) -> jax.Array:
+        """Multiply by the downconversion carrier (-sin + i*cos), the
+        reference's table convention (pf_cic.cpp:107-109)."""
+
+        n = x.shape[0]
+        k = jnp.arange(n, dtype=jnp.uint32)
+        ang = (phase_fp + k * rate_fp).astype(jnp.float32) * _PHASE_SCALE
+        carrier = jax.lax.complex(-jnp.sin(ang), jnp.cos(ang))
+        return x.astype(jnp.complex64) * carrier
+
+    def apply(self, state: CicState, x: jax.Array, rate: float, fmt: str = "f") -> Tuple[jax.Array, CicState]:
+        """Process R*K input samples into K output samples.
+
+        fmt: 'f'    float or complex input, used as-is;
+             's16'  int16 real input (cicddc_s16_c parity);
+             'cs16' int16 [2L] interleaved or [L] complex (cicddc_cs16_c);
+             'cu8'  uint8 [2L] interleaved IQ (cicddc_cu8_c, rtl-sdr offset
+                    (v<<8) - 32614 applied, pf_cic.cpp:219-220).
+        Returns (out [K] complex64, next_state).
+        """
+
+        r = self.factor
+        x = jnp.asarray(x)
+        scale = 1.0 / 32767.0  # int16-input normalization (part of the C gain)
+        if fmt == "s16":
+            x = x.astype(jnp.float32)
+        elif fmt == "cs16":
+            if not jnp.iscomplexobj(x):
+                x = x.reshape(-1, 2)
+                x = jax.lax.complex(x[:, 0].astype(jnp.float32), x[:, 1].astype(jnp.float32))
+        elif fmt == "cu8":
+            xi = x.reshape(-1, 2).astype(jnp.int32)
+            xs = (xi << 8) - 32614
+            x = jax.lax.complex(xs[:, 0].astype(jnp.float32), xs[:, 1].astype(jnp.float32))
+        elif fmt == "f":
+            scale = 1.0  # already-normalized float/complex input
+        else:
+            raise ValueError(f"unknown fmt {fmt!r}")
+
+        n = int(x.shape[0])
+        if n % r:
+            raise ValueError(f"input length {n} must be a multiple of factor {r}")
+        k_out = n // r
+        rate_fp = jnp.asarray(
+            np.uint32(np.uint64(round((float(rate) % 1.0) * _TWO32)) & np.uint64(0xFFFFFFFF)),
+            dtype=jnp.uint32,
+        )
+        return self._apply_jit(state, x, rate_fp, k_out, np.float32(scale))
+
+    def _apply_jit(self, state, x, rate_fp, k_out, scale):
+        r = self.factor
+        mixed = self._mix(x, state.phase_fp, rate_fp)
+        ext = jnp.concatenate([state.hist, mixed])  # [2R + RK]
+        idx = np.arange(k_out)[:, None] * r + np.arange(3 * r - 2)[None, :]
+        frames = ext[idx]  # [K, 3R-2]
+        out = frames @ self.b3_rev.astype(frames.dtype)
+        out = out * (self.gain * scale)
+        new_state = CicState(
+            phase_fp=state.phase_fp + jnp.uint32(x.shape[0]) * rate_fp,
+            hist=ext[-2 * r :],
+        )
+        return out, new_state
+
+
+def cicddc_init(factor: int) -> Tuple[CicDDC, CicState]:
+    """cicddc_init parity (pf_cic.h:65): returns (plan, fresh state)."""
+
+    ddc = CicDDC(factor)
+    return ddc, ddc.init_state()
+
+
+def cicddc_apply(ddc: CicDDC, state: CicState, x, rate: float, fmt: str = "s16"):
+    """cicddc_{s16,cs16,cu8}_c parity: returns (output, next_state)."""
+
+    return ddc.apply(state, x, rate, fmt)

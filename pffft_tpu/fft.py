@@ -112,6 +112,17 @@ def _jitted(plan: Plan, backward: bool, ordered: bool):
 # ---------------------------------------------------------------------------
 
 
+def _check_len(plan: Plan, x, backward: bool) -> None:
+    expect = plan.n
+    if plan.is_real:
+        expect = plan.spectrum_size if backward else plan.n
+    if x.shape[-1] != expect:
+        raise ValueError(
+            f"input last-axis length {x.shape[-1]} does not match plan "
+            f"(N={plan.n}, {plan.kind.value}): expected {expect}"
+        )
+
+
 def transform_ordered(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
     """pffft_transform_ordered parity (pffft.h:168): canonical spectrum order.
 
@@ -121,6 +132,7 @@ def transform_ordered(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
     """
 
     d = _plan._coerce_direction(direction)
+    _check_len(plan, x, d == BACKWARD)
     return _jitted(plan, d == BACKWARD, True)(x)
 
 
@@ -135,6 +147,7 @@ def transform(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
     """
 
     d = _plan._coerce_direction(direction)
+    _check_len(plan, x, d == BACKWARD)
     if plan.is_real:
         return _jitted(plan, d == BACKWARD, True)(x)
     return _jitted(plan, d == BACKWARD, False)(x)
