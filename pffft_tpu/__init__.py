@@ -40,6 +40,9 @@ from .fft import (
     zreorder,
     zconvolve_accumulate,
     zconvolve_no_accu,
+    transform_split,
+    transform_ordered_split,
+    zconvolve_split,
     cfft,
     icfft,
     rfft_packed,
@@ -47,6 +50,13 @@ from .fft import (
     spectrum_unpack,
     spectrum_pack,
 )
+
+# Submodules as attributes (pffft_tpu.conv / .dsp / .channelizer / .parallel)
+from . import conv
+from . import dsp
+from . import channelizer
+from . import fft
+from . import parallel
 
 __version__ = "0.1.0"
 
@@ -71,6 +81,14 @@ __all__ = [
     "zreorder",
     "zconvolve_accumulate",
     "zconvolve_no_accu",
+    "transform_split",
+    "transform_ordered_split",
+    "zconvolve_split",
+    "conv",
+    "dsp",
+    "channelizer",
+    "fft",
+    "parallel",
     "cfft",
     "icfft",
     "rfft_packed",

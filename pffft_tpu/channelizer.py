@@ -1,0 +1,209 @@
+"""Channelizer pipelines — the framework's flagship composite workload.
+
+BASELINE.json names two composite configs: "PFDSP chain: NCO mixer + CIC
+decimate on a multichannel IQ stream" and "Pod-scale channelizer:
+4096-channel sharded FFT+FIR stream with ICI halo exchange".  The reference
+ships the ingredients (pffft FFT, pffastconv FIR, pf_mixer NCO, pf_cic DDC)
+but leaves composition to the user; here the composition is a first-class,
+jit-compiled, mesh-shardable pipeline built from the same modules:
+
+  * :class:`Channelizer` — critically-sampled polyphase filter-bank (PFB)
+    channelizer: frame at stride M, weight with the polyphase decomposition
+    of a prototype lowpass (MXU contraction), FFT across the M channel
+    phases (the batched complex engine).  Mathematically this computes, for
+    frame k and channel c,
+
+        Y[k, c] = sum_p  exp(+2i pi c p / M) * sum_t h[t*M + p] * x[k*M - t*M - p + (P-1)*M]
+
+    i.e. every channel is the input mixed to baseband by exp(-2i pi c n/M),
+    filtered by h, and decimated by M — M DDC chains for the price of one
+    FIR + one FFT (the classic PFB identity).
+
+  * :class:`DDCChain` — single-channel chain with explicit stages (NCO mix
+    -> FIR lowpass via overlap-save fast conv -> decimate), the
+    mixer+CIC-style composite, streaming state carried as a pytree.
+
+Both carry streaming state exactly like the reference's stateful C structs
+(pffastconv tail, pf_mixer phase): state in, state out, pure functions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import conv as _conv
+from . import fft as _fft
+from . import plan as _plan
+from .dsp import mixer as _mixer
+
+__all__ = ["Channelizer", "ChannelizerState", "DDCChain", "DDCState", "design_lowpass"]
+
+
+def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming") -> np.ndarray:
+    """Windowed-sinc FIR lowpass prototype (cutoff in cycles/sample).
+
+    Host-side float64 design (the analog of the reference's filter-design
+    helpers living outside the hot path, tests/test_pffastconv.c keeps its
+    filters host-side too).
+    """
+
+    n = np.arange(num_taps, dtype=np.float64) - (num_taps - 1) / 2.0
+    h = 2.0 * cutoff * np.sinc(2.0 * cutoff * n)
+    if window == "hamming":
+        w = np.hamming(num_taps)
+    elif window == "blackman":
+        w = np.blackman(num_taps)
+    elif window == "rect":
+        w = np.ones(num_taps)
+    else:
+        raise ValueError(f"unknown window {window!r}")
+    h *= w
+    return (h / h.sum()).astype(np.float64)
+
+
+class ChannelizerState(NamedTuple):
+    """Streaming history: the last P*M input samples."""
+
+    hist: jax.Array  # [P*M] complex
+
+
+class Channelizer:
+    """Critically-sampled polyphase filter-bank channelizer.
+
+    num_channels M: FFT length across phases (any 2/3/5-smooth size).
+    taps_per_channel P: polyphase depth; prototype length = P*M.
+    """
+
+    def __init__(
+        self,
+        num_channels: int,
+        taps_per_channel: int = 8,
+        prototype: Optional[np.ndarray] = None,
+        dtype="float32",
+    ):
+        m, p = int(num_channels), int(taps_per_channel)
+        if prototype is None:
+            prototype = design_lowpass(p * m, 0.5 / m)
+        prototype = np.asarray(prototype, dtype=np.float64)
+        if prototype.size != p * m:
+            raise ValueError(f"prototype length {prototype.size} != P*M = {p * m}")
+        self.m = m
+        self.p = p
+        self.dtype = np.dtype(dtype)
+        # polyphase branches: hb[s, phi] = h[s*M + phi]
+        self.weights = jnp.asarray(
+            prototype.reshape(p, m).astype(self.dtype), dtype=self.dtype
+        )
+        self.plan = _plan.Plan.create(m, _plan.COMPLEX, dtype, strict=False)
+
+    def init_state(self, channels_shape: Tuple[int, ...] = ()) -> ChannelizerState:
+        return ChannelizerState(
+            hist=jnp.zeros((*channels_shape, self.p * self.m), dtype=self.plan.cdtype)
+        )
+
+    # ------------------------------------------------------------------
+    def _pfb(self, ext: jax.Array, k_frames: int) -> jax.Array:
+        """ext [..., P*M + L] (history-prefixed) -> [..., K, M] channels.
+
+        Exact identity produced (verified in tests/test_channelizer.py):
+
+            Y[k, c] = sum_j h[j] * x[k*M - j] * exp(+2i pi c j / M)
+                    = (x * e^{-2i pi c n / M}) conv h, sampled at n = k*M
+
+        via v[k, phi] = sum_s hb[s, phi] * ext[(P + k - s)*M - phi] and an
+        unscaled backward DFT over phi (channel extraction).
+        """
+
+        m, p = self.m, self.p
+        k_idx = np.arange(k_frames)[:, None, None]
+        s_idx = np.arange(p)[None, :, None]
+        phi_idx = np.arange(m)[None, None, :]
+        idx = (p + k_idx - s_idx) * m - phi_idx  # [K, P, M], all >= 1
+        fr = ext[..., idx]  # [..., K, P, M]
+        v = jnp.einsum("...ksm,sm->...km", fr, self.weights.astype(fr.dtype))
+        # channel extraction: y[k, c] = sum_phi v[k, phi] e^{+2i pi c phi / M}
+        # == unscaled backward FFT over the phase axis.
+        return _fft.transform_ordered(self.plan, v, _plan.BACKWARD)
+
+    def process(
+        self, state: ChannelizerState, x: jax.Array
+    ) -> Tuple[jax.Array, ChannelizerState]:
+        """Stream step: x [..., L] (L % M == 0) -> (Y [..., L//M, M], state').
+
+        Y[..., k, c] is channel c of output frame k at rate fs/M; frame k of
+        this chunk samples the filtered stream at chunk-local time k*M.
+        """
+
+        if x.shape[-1] % self.m:
+            raise ValueError(f"stream chunk length {x.shape[-1]} must be a multiple of M={self.m}")
+        x = x.astype(self.plan.cdtype)
+        ext = jnp.concatenate([state.hist, x], axis=-1)
+        y = self._pfb(ext, x.shape[-1] // self.m)
+        new_state = ChannelizerState(hist=ext[..., -self.p * self.m :])
+        return y, new_state
+
+    @functools.cached_property
+    def jitted_process(self):
+        return jax.jit(self.process)
+
+    def one_shot(self, x: jax.Array) -> jax.Array:
+        """Convenience: zero history, process, drop state."""
+
+        lead = x.shape[:-1]
+        y, _ = self.jitted_process(self.init_state(lead), jnp.asarray(x))
+        return y
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Channelizer(M={self.m}, P={self.p}, {self.dtype.name})"
+
+
+# ---------------------------------------------------------------------------
+
+
+class DDCState(NamedTuple):
+    mixer: _mixer.MixerState
+    tail: jax.Array  # [filterLen-1] carried input samples (pffastconv contract)
+
+
+class DDCChain:
+    """Mixer -> FIR lowpass (overlap-save) -> decimate, streaming.
+
+    The explicit-stage composite of BASELINE.json config #4: each call mixes
+    the chunk with the NCO carrier, convolves with the lowpass (fast conv in
+    the frequency domain), and keeps every ``decim``-th sample.  The carried
+    state is exactly what the reference APIs carry: the NCO phase
+    (pf_mixer.h:140-152) and the unconsumed input tail (pffastconv.h:149-174).
+    """
+
+    def __init__(self, shift_rate: float, filter_taps, decim: int, dtype="float32"):
+        self.decim = int(decim)
+        h = np.asarray(filter_taps, dtype=np.float64)
+        self.filter_len = h.size
+        self.conv = _conv.FastConv(h, flags=_conv.ConvFlags.CPLX_INP_OUT, dtype=dtype)
+        self.shift_rate = float(shift_rate)
+
+    def init_state(self) -> DDCState:
+        return DDCState(
+            mixer=_mixer.mixer_init(self.shift_rate),
+            tail=jnp.zeros(self.filter_len - 1, dtype=jnp.complex64),
+        )
+
+    def process(self, state: DDCState, x: jax.Array) -> Tuple[jax.Array, DDCState]:
+        """x [L] complex chunk -> (y [ceil(L/decim)] complex, state')."""
+
+        mixed, mst = _mixer.mixer_apply(state.mixer, x.astype(jnp.complex64))
+        ext = jnp.concatenate([state.tail, mixed])
+        n_out = x.shape[0]
+        yi = self.conv._conv_stream(jnp.real(ext).astype(self.conv.dtype), n_out)
+        yq = self.conv._conv_stream(jnp.imag(ext).astype(self.conv.dtype), n_out)
+        y = (yi + 1j * yq)[:: self.decim]
+        return y, DDCState(mixer=mst, tail=ext[-(self.filter_len - 1) :])
+
+    @functools.cached_property
+    def jitted_process(self):
+        return jax.jit(self.process)

@@ -33,6 +33,7 @@ import numpy as np
 
 from . import plan as _plan
 from .ops import real as _real
+from .ops import split as _split
 from .ops import stages as _stages
 
 Plan = _plan.Plan
@@ -66,16 +67,28 @@ def _complex_transform(p: Plan, x: jax.Array, backward: bool, ordered: bool) -> 
     return _stages.cfft_stages(x, p.stages, backward=backward, ordered=ordered)
 
 
+def _real_forward_planar(p: Plan, x: jax.Array) -> "tuple[jax.Array, jax.Array]":
+    zr, zi = _split.pack_real_input_split(x.astype(p.dtype.type))
+    zr, zi = _split.cfft_stages_split(zr, zi, p.stages, backward=False, ordered=True)
+    return _split.real_forward_split_planar(zr, zi, p.real_twiddle)
+
+
+def _real_backward_planar(p: Plan, sr: jax.Array, si: jax.Array) -> jax.Array:
+    zr, zi = _split.real_backward_split_planar(
+        sr.astype(p.dtype.type), si.astype(p.dtype.type), p.real_twiddle
+    )
+    wr, wi = _split.cfft_stages_split(zr, zi, p.stages, backward=True, ordered=True)
+    return _split.interleave_to_real_split(wr, wi).astype(p.dtype.type)
+
+
 def _real_forward(p: Plan, x: jax.Array) -> jax.Array:
-    z = _real.pack_real_input(x.astype(p.dtype.type), p.cdtype.type)
-    zf = _stages.cfft_stages(z, p.stages, backward=False, ordered=True)
-    return _real.real_forward_split(zf, p.real_twiddle)
+    sr, si = _real_forward_planar(p, x)
+    return _split.from_split((sr, si), p.cdtype.type)
 
 
 def _real_backward(p: Plan, s: jax.Array) -> jax.Array:
-    z2 = _real.real_backward_split(s.astype(p.cdtype.type), p.real_twiddle)
-    w = _stages.cfft_stages(z2, p.stages, backward=True, ordered=True)
-    return _real.interleave_to_real(w, p.dtype.type)
+    s = s.astype(p.cdtype.type)
+    return _real_backward_planar(p, jnp.real(s), jnp.imag(s))
 
 
 @functools.lru_cache(maxsize=1024)
@@ -237,3 +250,80 @@ def spectrum_pack(r: jax.Array) -> jax.Array:
     dc = jnp.real(r[..., 0])
     nyq = jnp.real(r[..., -1])
     return r[..., :-1].at[..., 0].set(dc + 1j * nyq)
+
+
+# ---------------------------------------------------------------------------
+# Split-format (planar re/im) API — the TPU-native entry points.
+#
+# Complex dtypes do not exist on the TPU compute path (see ops/split.py);
+# spectra are pairs of float arrays.  These functions mirror the complex API
+# one-to-one and share its engine, so every accuracy test above covers them.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1024)
+def _jitted_split(plan: Plan, backward: bool, ordered: bool):
+    if plan.is_real:
+        if backward:
+            fn = lambda sr, si: _real_backward_planar(plan, sr, si)
+        else:
+            fn = lambda x: _real_forward_planar(plan, x)
+        return jax.jit(fn)
+    if backward and not ordered:
+        def fn(re, im):
+            re = _stages.reorder_spectrum(re, plan.factors, to_canonical=True)
+            im = _stages.reorder_spectrum(im, plan.factors, to_canonical=True)
+            return _split.cfft_stages_split(re, im, plan.stages, backward=True, ordered=True)
+    else:
+        def fn(re, im):
+            return _split.cfft_stages_split(
+                re, im, plan.stages, backward=backward, ordered=ordered
+            )
+    return jax.jit(fn)
+
+
+def transform_ordered_split(plan: Plan, x, direction=FORWARD):
+    """Split-format transform_ordered.
+
+    REAL forward:  x [..., N] real          -> (re, im) [..., N/2]
+    REAL backward: x = (re, im) [..., N/2]  -> [..., N] real
+    COMPLEX:       x = (re, im) [..., N]    -> (re, im) [..., N]
+    """
+
+    d = _plan._coerce_direction(direction)
+    backward = d == BACKWARD
+    if plan.is_real and not backward:
+        return _jitted_split(plan, False, True)(x)
+    return _jitted_split(plan, backward, True)(*x)
+
+
+def transform_split(plan: Plan, x, direction=FORWARD):
+    """Split-format transform (internal/unordered z-layout)."""
+
+    d = _plan._coerce_direction(direction)
+    backward = d == BACKWARD
+    if plan.is_real:
+        return transform_ordered_split(plan, x, direction)
+    return _jitted_split(plan, backward, False)(*x)
+
+
+def zconvolve_split(plan: Plan, a, b, scaling=1.0, accumulate=None):
+    """Split-format pointwise spectral multiply (internal layout), with the
+    real-packing DC/Nyquist component-wise fixup (pffft_priv_impl.h:1534).
+
+    a, b: (re, im) pairs; optional ``accumulate`` = (re, im) to add into.
+    Returns (re, im).
+    """
+
+    ar, ai = a
+    br, bi = b
+    cr, ci = _split.split_mul((ar, ai), (br, bi))
+    if plan.is_real:
+        cr = cr.at[..., 0].set(ar[..., 0] * br[..., 0])
+        ci = ci.at[..., 0].set(ai[..., 0] * bi[..., 0])
+    s = jnp.asarray(scaling, dtype=plan.dtype.type)
+    cr, ci = cr * s, ci * s
+    if accumulate is not None:
+        cr = cr + accumulate[0]
+        ci = ci + accumulate[1]
+    return cr, ci

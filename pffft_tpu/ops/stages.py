@@ -40,44 +40,21 @@ _PRECISION = jax.lax.Precision.HIGHEST  # full-f32 MXU passes; bf16 default
 # would break the 140 dB dynamic-range bound of tests/test_pffft.c:52-61.
 
 
-def _stage_tables(stage, backward: bool):
-    dft = stage.dft
-    tw = stage.twiddle
-    if backward:
-        dft = np.conj(dft)
-        tw = np.conj(tw)
-    return dft, tw
-
-
 def cfft_stages(x: jax.Array, stages: Sequence, *, backward: bool, ordered: bool) -> jax.Array:
     """Run the staged complex FFT over the last axis of ``x``.
 
     x: [..., N] complex.  Unscaled in both directions (pffft.h:134 contract:
     backward(forward(x)) == N * x).
+
+    Thin complex-dtype wrapper over the planar split engine (ops/split.py),
+    so the complex API exercises exactly the arithmetic the TPU runs.
     """
 
-    lead = x.shape[:-1]
-    n = x.shape[-1]
-    b = int(np.prod(lead)) if lead else 1
-    a = x.reshape(b, 1, n)
-    nstages = len(stages)
-    for idx, st in enumerate(stages):
-        l, r, m = st.l, st.r, st.m
-        if r == 1:
-            continue
-        dft, tw = _stage_tables(st, backward)
-        a = a.reshape(b, l, r, m)
-        if l > 1:
-            a = a * tw[None, :, :, None]
-        last = idx == nstages - 1
-        if last and not ordered:
-            # skip the transpose-merge: internal layout [l, t]
-            a = jnp.einsum("blrm,rt->bltm", a, dft, precision=_PRECISION)
-            a = a.reshape(b, l * r, m)
-        else:
-            a = jnp.einsum("blrm,rt->btlm", a, dft, precision=_PRECISION)
-            a = a.reshape(b, r * l, m)
-    return a.reshape(*lead, n)
+    from . import split as _split
+
+    re, im = _split.to_split(x)
+    rr, ri = _split.cfft_stages_split(re, im, stages, backward=backward, ordered=ordered)
+    return _split.from_split((rr, ri), x.dtype)
 
 
 def internal_order_shape(factors: Tuple[int, ...]) -> Tuple[int, int]:

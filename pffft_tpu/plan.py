@@ -322,9 +322,13 @@ def _real_split_twiddle(n: int, sign: int, dtype) -> np.ndarray:
     return m.astype(dtype)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class StageTables:
-    """Per-stage constants for one Stockham contraction stage."""
+    """Per-stage constants for one Stockham contraction stage.
+
+    ``eq=False`` keeps identity hashing: stage tables are cached per plan
+    and used as lru_cache keys for their host-side split (ops/split.py).
+    """
 
     r: int  # factor (butterfly size)
     l: int  # completed DFT length entering this stage

@@ -1,0 +1,119 @@
+"""Channelizer / DDC-chain tests (BASELINE.json composite configs #4, #5).
+
+Oracle: direct per-channel DDC (mix -> np.convolve -> decimate) in float64,
+the same slow-reference pattern as the conv tests (tests/test_pffastconv.c
+slow_conv analogs, SURVEY.md §4.4).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pffft_tpu.channelizer import Channelizer, DDCChain, design_lowpass
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def _direct_channel(x, h, m, c):
+    n = np.arange(x.size)
+    mixed = x.astype(np.complex128) * np.exp(-2j * np.pi * c * n / m)
+    return np.convolve(mixed, np.asarray(h, dtype=np.float64))
+
+
+@pytest.mark.parametrize("m,p", [(8, 4), (16, 8), (12, 6)])
+def test_pfb_equals_direct_ddc_bank(m, p):
+    r = _rng(m * p)
+    length = 16 * m
+    x = (r.standard_normal(length) + 1j * r.standard_normal(length)).astype(np.complex64)
+    h = design_lowpass(p * m, 0.5 / m)
+    ch = Channelizer(m, p, prototype=h)
+    y, _ = ch.process(ch.init_state(), jnp.asarray(x))
+    y = np.asarray(y)
+    assert y.shape == (length // m, m)
+    for c in range(m):
+        ref = _direct_channel(x, h, m, c)[0:length:m]
+        assert np.abs(y[:, c] - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())
+
+
+def test_pfb_streaming_continuity():
+    m, p = 8, 4
+    r = _rng(1)
+    h = design_lowpass(p * m, 0.5 / m)
+    ch = Channelizer(m, p, prototype=h)
+    chunks = [
+        (r.standard_normal(8 * m) + 1j * r.standard_normal(8 * m)).astype(np.complex64)
+        for _ in range(3)
+    ]
+    st = ch.init_state()
+    outs = []
+    for c in chunks:
+        y, st = ch.process(st, jnp.asarray(c))
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=0)
+    xall = np.concatenate(chunks)
+    for c in range(m):
+        ref = _direct_channel(xall, h, m, c)[0 : xall.size : m]
+        assert np.abs(got[:, c] - ref).max() < 1e-5
+
+
+def test_pfb_batched_channels():
+    m, p = 8, 4
+    r = _rng(2)
+    x = (r.standard_normal((3, 8 * m)) + 1j * r.standard_normal((3, 8 * m))).astype(np.complex64)
+    ch = Channelizer(m, p)
+    y, _ = ch.process(ch.init_state((3,)), jnp.asarray(x))
+    y0, _ = ch.process(ch.init_state(), jnp.asarray(x[0]))
+    np.testing.assert_allclose(np.asarray(y)[0], np.asarray(y0), atol=1e-6)
+
+
+def test_pfb_tone_lands_in_its_channel():
+    """A tone at channel-c center must concentrate in channel c."""
+
+    m, p = 16, 8
+    ch = Channelizer(m, p)
+    c = 5
+    n = np.arange(64 * m)
+    x = np.exp(2j * np.pi * c * n / m).astype(np.complex64)
+    y, _ = ch.process(ch.init_state(), jnp.asarray(x))
+    power = np.abs(np.asarray(y))[16:]  # skip warm-up frames
+    mean_power = power.mean(axis=0)
+    assert mean_power[c] > 0.9
+    others = np.delete(mean_power, c)
+    assert others.max() < 0.02 * mean_power[c]
+
+
+def test_ddc_chain_matches_direct():
+    r = _rng(3)
+    length = 4096
+    x = (r.standard_normal(length) + 1j * r.standard_normal(length)).astype(np.complex64)
+    h = design_lowpass(63, 0.1)
+    rate = 0.11
+    dd = DDCChain(rate, h, decim=4)
+    y, _ = dd.process(dd.init_state(), jnp.asarray(x))
+    n = np.arange(length)
+    mixed = x.astype(np.complex128) * np.exp(2j * np.pi * rate * n)
+    ref = np.convolve(mixed, h.astype(np.float64))[:length:4]
+    assert np.abs(np.asarray(y) - ref).max() < 2e-5
+
+
+def test_ddc_chain_streaming_continuity():
+    r = _rng(4)
+    h = design_lowpass(33, 0.1)
+    dd = DDCChain(0.07, h, decim=2)
+    chunks = [
+        (r.standard_normal(512) + 1j * r.standard_normal(512)).astype(np.complex64)
+        for _ in range(3)
+    ]
+    st = dd.init_state()
+    outs = []
+    for c in chunks:
+        y, st = dd.process(st, jnp.asarray(c))
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs)
+    xall = np.concatenate(chunks)
+    n = np.arange(xall.size)
+    mixed = xall.astype(np.complex128) * np.exp(2j * np.pi * 0.07 * n)
+    ref = np.convolve(mixed, h.astype(np.float64))[: xall.size : 2]
+    assert np.abs(got - ref).max() < 2e-5
