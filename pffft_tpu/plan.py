@@ -275,15 +275,38 @@ def plan_factors(n: int, max_factor: int = 5) -> Tuple[int, ...]:
 # ---------------------------------------------------------------------------
 
 
+def _native_planner():
+    """The C++ planner from pffft_tpu.runtime, or None (lazy, cached)."""
+
+    global _NATIVE
+    if _NATIVE is _UNSET:
+        try:
+            from . import runtime as _runtime
+
+            _NATIVE = _runtime.native_planner()
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
+
+_UNSET = object()
+_NATIVE = _UNSET
+
+
 def _dft_matrix(r: int, sign: int, dtype) -> np.ndarray:
     """Dense r x r DFT matrix W[i, t] = exp(sign * 2i pi * i * t / r).
 
-    Angles are reduced exactly in integer arithmetic before the float64
-    cos/sin evaluation, mirroring the conditioning of the reference's
-    twiddle setup (pffft_priv_impl.h:942-962) so large-N fp32 plans keep
-    the 140 dB test bound.
+    Angles are reduced exactly in integer arithmetic before the trig
+    evaluation (long-double in the native planner, float64 fallback),
+    mirroring the conditioning of the reference's twiddle setup
+    (pffft_priv_impl.h:942-962) so large-N fp32 plans keep the 140 dB
+    test bound.
     """
 
+    nat = _native_planner()
+    if nat is not None:
+        m = nat.dft_matrix(r)
+        return (np.conj(m) if sign > 0 else m).astype(dtype)
     i = np.arange(r, dtype=np.int64)[:, None]
     t = np.arange(r, dtype=np.int64)[None, :]
     k = (i * t) % r  # exact integer reduction
@@ -300,6 +323,10 @@ def _stage_twiddle(l: int, r: int, sign: int, dtype) -> np.ndarray:
     """
 
     period = l * r
+    nat = _native_planner()
+    if nat is not None:
+        m = nat.stage_twiddle(l, r, period)
+        return (np.conj(m) if sign > 0 else m).astype(dtype)
     k = np.arange(l, dtype=np.int64)[:, None]
     i = np.arange(r, dtype=np.int64)[None, :]
     e = (k * i) % period
@@ -311,10 +338,13 @@ def _stage_twiddle(l: int, r: int, sign: int, dtype) -> np.ndarray:
 def _real_split_twiddle(n: int, sign: int, dtype) -> np.ndarray:
     """Twiddles for the real<->complex split step of an N-point real FFT.
 
-    B[k] = exp(sign * 2i pi * k / N) for k = 0 .. N/4 (we exploit symmetry in
-    ops/real.py); computed in float64.
+    B[k] = exp(sign * 2i pi * k / N) for k = 0 .. N/2 - 1.
     """
 
+    nat = _native_planner()
+    if nat is not None:
+        m = nat.real_split_twiddle(n)
+        return (np.conj(m) if sign > 0 else m).astype(dtype)
     half = n // 2
     k = np.arange(half, dtype=np.int64)
     ang = (2.0 * np.pi / n) * k.astype(np.float64)
