@@ -6,73 +6,63 @@ per complex transform, /root/reference/benchmarks/bench_pffft.c:606).
 
 ``vs_baseline`` is the fraction of speed-of-light: the FFT is HBM-bound, so
 the bound is (bytes in + bytes out) / measured peak HBM bandwidth, where
-peak bandwidth is measured with a saturating elementwise kernel on the same
-arrays (the TPU analog of the reference's calibration run,
-bench_pffft.c:495-530).  1.0 = the FFT costs exactly one read + one write
-of its operands.
+peak bandwidth is measured with a saturating elementwise kernel (the
+calibration-run analog of bench_pffft.c:495-530).  1.0 = the FFT costs
+exactly one read + one write of its operands at peak bandwidth.
+
+Timing uses benchmarks/timing.py (device-side loop chaining + forced fetch
++ two-point slope): the TPU runtime defers execution, so naive dispatch
+timing is invalid.
 
 The compute path is the planar split-format engine (complex dtypes do not
-exist on the TPU runtime; see pffft_tpu/ops/split.py).
+exist on the TPU runtime; see pffft_tpu/ops/split.py) with the
+backend-tuned stage policy (plan.default_max_factor: dense 64-point MXU
+stages on TPU — measured 153 dB carrier-test dynamic range, above the
+reference's 140 dB bound).
 """
 
 import json
 import math
-import time
+import os
+import sys
 
 import numpy as np
 
-
-def _time_fn(fn, args, min_dur=0.2, max_iters=8192):
-    out = fn(*args)
-    for o in (out if isinstance(out, tuple) else (out,)):
-        o.block_until_ready()  # warm-up / compile
-    t0 = time.perf_counter()
-    out = fn(*args)
-    (out[0] if isinstance(out, tuple) else out).block_until_ready()
-    once = time.perf_counter() - t0
-    iters = max(1, min(max_iters, int(min_dur / max(once, 1e-7)) + 1))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        (out[0] if isinstance(out, tuple) else out).block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
-        best = min(best, dt)
-    return best
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
 
 
 def main():
+    quick = "--quick" in sys.argv
+
     import jax
     import jax.numpy as jnp
 
     import pffft_tpu as pf
+    from timing import bench_op, measure_peak_bw
 
     n = 4096
-    batch = 2048  # planes: 2 x [2048, 4096] f32 = 64 MiB in, 64 MiB out
+    batch = 1024 if quick else 2048
     plan = pf.new_setup(n, pf.COMPLEX)
     rng = np.random.default_rng(0)
     re = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
     im = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
 
-    fft = jax.jit(lambda r, i: pf.fft.transform_ordered_split(plan, (r, i), pf.FORWARD))
-    # peak-bandwidth probe: one fused read+write over the same operands
-    probe = jax.jit(lambda r, i: (r * 1.0000001 + i, i * 0.9999999 - r))
+    peak_bw = measure_peak_bw(128 << 20 if quick else 512 << 20)
 
-    t_fft = _time_fn(fft, (re, im))
-    t_probe = _time_fn(probe, (re, im))
+    fft = lambda r, i: pf.fft.transform_ordered_split(plan, (r, i), pf.FORWARD)
+    t_fft = bench_op(fft, (re, im), k1=2 if quick else 4, k2=10 if quick else 20)
 
     bytes_min = 4 * batch * n * 4  # 2 planes in + 2 planes out, f32
-    peak_bw = (4 * batch * n * 4) / t_probe  # probe moves the same bytes
     sol_time = bytes_min / peak_bw
-
     flops = 5.0 * batch * n * math.log2(n)
     gflops = flops / t_fft / 1e9
 
-    # accuracy sanity vs numpy oracle on a slice (host fp64)
-    sr, si = fft(re, im)
-    got = np.asarray(sr[0]) + 1j * np.asarray(si[0])
-    ref = np.fft.fft(np.asarray(re[0]).astype(np.float64) + 1j * np.asarray(im[0]).astype(np.float64))
+    # accuracy sanity vs numpy oracle on one row (host fp64)
+    sr, si = jax.jit(fft)(re, im)
+    got = np.asarray(sr[0]).astype(np.float64) + 1j * np.asarray(si[0]).astype(np.float64)
+    ref = np.fft.fft(
+        np.asarray(re[0]).astype(np.float64) + 1j * np.asarray(im[0]).astype(np.float64)
+    )
     err = float(np.abs(got - ref).max() / np.abs(ref).max())
 
     dev = jax.devices()[0]
@@ -86,6 +76,7 @@ def main():
                 "speed_of_light_note": "vs_baseline = fraction of HBM roofline (1.0 = one read+write at measured peak BW)",
                 "measured_peak_bw_GBps": round(peak_bw / 1e9, 1),
                 "ns_per_transform": round(t_fft / batch * 1e9, 1),
+                "plan_factors": list(plan.factors),
                 "max_rel_err_vs_numpy": err,
             }
         )

@@ -73,8 +73,14 @@ def bench_op(
         _fetch(run2(args))
         t2 = time.perf_counter()
         slope = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
-        best = min(best, slope)
-    return max(best, 1e-9)
+        if slope > 0:
+            best = min(best, slope)
+    if not (best < float("inf")):
+        # constants dominated the window; rerun with a longer loop
+        if k2 < 4096:
+            return bench_op(step, args, k1=k2, k2=k2 * 5, repeats=repeats)
+        return 1e-9
+    return best
 
 
 def measure_peak_bw(nbytes: int = 512 << 20) -> float:

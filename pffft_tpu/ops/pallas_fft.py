@@ -1,0 +1,244 @@
+"""Fused Pallas FFT kernel: all butterfly stages in VMEM, one HBM pass.
+
+This is the framework's hand-written hot kernel — the TPU counterpart of
+the reference's SIMD engine (/root/reference/src/pffft_priv_impl.h): where
+the reference holds 4 lanes in SSE registers across a radix pass, this
+kernel holds a [N, TB] tile (TB batch columns on the 128-lane axis, the
+transform index on sublanes) in VMEM across ALL passes, so the whole
+mixed-radix pipeline costs one HBM read + one write.
+
+Layout choice (the core TPU-first decision): **batch on lanes**.  Every
+butterfly is then an elementwise op over [l, m, TB] slabs — full VPU
+utilization, no lane shuffles; the Stockham merges are pure relabels of the
+sublane axis.  Radix-2/4 butterflies are add/sub only; radix-3/5 use
+exact-rational/±sqrt constants (same constants as radf3/radf5,
+pffft_priv_impl.h:386-807, derived independently from the DFT matrix).
+
+The kernel consumes/produces TIME-MAJOR data: planes [N, B] (transform
+index first).  This is the engine's natural layout — the batched analog of
+pffft's "internal" layout story (pffft.h:126-132): the layout the hardware
+likes is the default; converting to batch-major [B, N] is an explicit
+transpose the caller opts into.  fft.py wraps both.
+
+Stockham invariant (same derivation as stages.py): after stages with
+completed length L, the value has shape [L, M, TB], M = N / L, holding
+A[k, j, b] = sum_{p in [L]} x[p*M + j, b] * W_L^{p k}.  A radix-r stage
+maps [L, r*M', TB] -> view [L, r, M', TB] -> twiddle T[k, i] = W_{Lr}^{ik}
+-> butterfly over i -> stack t above k -> [r*L, M', TB].  Output after the
+last stage ([N, 1, TB]) is in canonical bin order — Stockham needs no
+bit-reversal and no zreorder.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import plan as _plan
+
+__all__ = ["supported", "cfft_pallas_tmajor", "cfft_pallas", "DEFAULT_TB"]
+
+DEFAULT_TB = 128  # batch columns per grid step (one f32 lane tile)
+
+_SQRT3_2 = math.sqrt(3.0) / 2.0
+# radix-5 constants: cos/sin of 2pi/5, 4pi/5 (cf. radf5_ps tr11/ti11/tr12/ti12,
+# pffft_priv_impl.h:633 — same algebra, derived from the DFT matrix)
+_C51, _S51 = math.cos(2 * math.pi / 5), math.sin(2 * math.pi / 5)
+_C52, _S52 = math.cos(4 * math.pi / 5), math.sin(4 * math.pi / 5)
+
+
+def _butterfly(r: int, a, sign: float):
+    """Radix-r DFT of r planar slabs a[i] = (re, im); returns r slabs.
+
+    sign = -1 forward, +1 backward.  y[t] = sum_i W_r^{sign*i*t} a[i].
+    """
+
+    if r == 2:
+        (x0r, x0i), (x1r, x1i) = a
+        return [(x0r + x1r, x0i + x1i), (x0r - x1r, x0i - x1i)]
+    if r == 4:
+        (x0r, x0i), (x1r, x1i), (x2r, x2i), (x3r, x3i) = a
+        t0r, t0i = x0r + x2r, x0i + x2i
+        t1r, t1i = x0r - x2r, x0i - x2i
+        t2r, t2i = x1r + x3r, x1i + x3i
+        t3r, t3i = x1r - x3r, x1i - x3i
+        # forward (sign=-1): y1 = t1 - i t3, y3 = t1 + i t3
+        if sign < 0:
+            y1 = (t1r + t3i, t1i - t3r)
+            y3 = (t1r - t3i, t1i + t3r)
+        else:
+            y1 = (t1r - t3i, t1i + t3r)
+            y3 = (t1r + t3i, t1i - t3r)
+        return [(t0r + t2r, t0i + t2i), y1, (t0r - t2r, t0i - t2i), y3]
+    if r == 3:
+        (x0r, x0i), (x1r, x1i), (x2r, x2i) = a
+        sr, si = x1r + x2r, x1i + x2i       # symmetric sum
+        dr, di = x1r - x2r, x1i - x2i       # antisymmetric
+        mr, mi = x0r - 0.5 * sr, x0i - 0.5 * si
+        s3 = sign * _SQRT3_2
+        # y1 = m + i*s3*d ; y2 = m - i*s3*d
+        return [
+            (x0r + sr, x0i + si),
+            (mr - s3 * di, mi + s3 * dr),
+            (mr + s3 * di, mi - s3 * dr),
+        ]
+    if r == 5:
+        (x0r, x0i), (x1r, x1i), (x2r, x2i), (x3r, x3i), (x4r, x4i) = a
+        s1r, s1i = x1r + x4r, x1i + x4i
+        d1r, d1i = x1r - x4r, x1i - x4i
+        s2r, s2i = x2r + x3r, x2i + x3i
+        d2r, d2i = x2r - x3r, x2i - x3i
+        y0 = (x0r + s1r + s2r, x0i + s1i + s2i)
+        out = [y0, None, None, None, None]
+        for t, (ca, cb, sa, sb) in (
+            (1, (_C51, _C52, _S51, _S52)),
+            (2, (_C52, _C51, _S52, -_S51)),
+        ):
+            er = x0r + ca * s1r + cb * s2r
+            ei = x0i + ca * s1i + cb * s2i
+            fr = sign * (sa * d1r + sb * d2r)
+            fi = sign * (sa * d1i + sb * d2i)
+            # y_t = e + i*f ; y_{r-t} = e - i*f
+            out[t] = (er - fi, ei + fr)
+            out[5 - t] = (er + fi, ei - fr)
+        return out
+    raise ValueError(f"unsupported radix {r}")
+
+
+def _stage_values(ar, ai, l: int, r: int, m: int, twr, twi, sign: float):
+    """One Stockham stage on planar values shaped [l, r*m, TB]."""
+
+    tb = ar.shape[-1]
+    a4r = ar.reshape(l, r, m, tb)
+    a4i = ai.reshape(l, r, m, tb)
+    slabs = []
+    for i in range(r):
+        sr_, si_ = a4r[:, i], a4i[:, i]  # [l, m, TB]
+        if l > 1 and i > 0:  # T[k,0] == 1
+            wr = twr[:, i].reshape(l, 1, 1)
+            wi = twi[:, i].reshape(l, 1, 1)
+            sr_, si_ = sr_ * wr - si_ * wi, sr_ * wi + si_ * wr
+        slabs.append((sr_, si_))
+    ys = _butterfly(r, slabs, sign)
+    outr = jnp.stack([y[0] for y in ys], axis=0)  # [r, l, m, TB]
+    outi = jnp.stack([y[1] for y in ys], axis=0)
+    return outr.reshape(r * l, m, tb), outi.reshape(r * l, m, tb)
+
+
+def _make_kernel(n: int, stages: Sequence, backward: bool):
+    """Kernel fn (twiddle refs ..., re_ref, im_ref, or_ref, oi_ref)."""
+
+    sign = 1.0 if backward else -1.0
+    active = [s for s in stages if s.r != 1]
+
+    def kernel(*refs):
+        ntw = len(active)
+        tw_refs = refs[: 2 * ntw]
+        re_ref, im_ref, or_ref, oi_ref = refs[2 * ntw :]
+        tb = re_ref.shape[-1]
+        ar = re_ref[:].reshape(1, n, tb)
+        ai = im_ref[:].reshape(1, n, tb)
+        for idx, st in enumerate(active):
+            twr = tw_refs[2 * idx][:]
+            twi = tw_refs[2 * idx + 1][:]
+            if backward:
+                twi = -twi
+            ar, ai = _stage_values(ar, ai, st.l, st.r, st.m, twr, twi, sign)
+        or_ref[:] = ar.reshape(n, tb)
+        oi_ref[:] = ai.reshape(n, tb)
+
+    return kernel
+
+
+def supported(plan: _plan.Plan) -> bool:
+    """Whether the fused kernel covers this plan (complex engine factors)."""
+
+    return all(st.r in (1, 2, 3, 4, 5) for st in plan.stages)
+
+
+@functools.lru_cache(maxsize=256)
+def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool):
+    n = plan.engine_n
+    active = [s for s in plan.stages if s.r != 1]
+    tw_inputs = []
+    tw_specs = []
+    for st in active:
+        tw = st.twiddle  # [l, r] complex (forward sign)
+        tw_inputs.append(np.ascontiguousarray(tw.real, dtype=np.float32))
+        tw_inputs.append(np.ascontiguousarray(tw.imag, dtype=np.float32))
+        spec = pl.BlockSpec((st.l, st.r), lambda j: (0, 0), memory_space=pltpu.VMEM)
+        tw_specs.extend([spec, spec])
+
+    data_spec = pl.BlockSpec((n, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
+    kernel = _make_kernel(n, plan.stages, backward)
+
+    def call(re, im):
+        b = re.shape[-1]
+        grid = (b // tb,)
+        out_shape = [
+            jax.ShapeDtypeStruct((n, b), jnp.float32),
+            jax.ShapeDtypeStruct((n, b), jnp.float32),
+        ]
+        flops = int(8 * n * math.log2(max(n, 2)) * b)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[*tw_specs, data_spec, data_spec],
+            out_specs=[data_spec, data_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=4 * 4 * n * b, transcendentals=0
+            ),
+        )(*[jnp.asarray(t) for t in tw_inputs], re, im)
+
+    return call
+
+
+def cfft_pallas_tmajor(
+    plan: _plan.Plan,
+    re: jax.Array,
+    im: jax.Array,
+    *,
+    backward: bool = False,
+    tb: int = DEFAULT_TB,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched complex FFT of TIME-MAJOR planes [N, B] (B % tb == 0).
+
+    Unscaled both directions; canonical bin order (Stockham autosort).
+    """
+
+    if not supported(plan):
+        raise ValueError(f"plan {plan} has unsupported factors for the fused kernel")
+    n, b = re.shape[-2], re.shape[-1]
+    if n != plan.engine_n:
+        raise ValueError(f"data length {n} != plan engine length {plan.engine_n}")
+    if b % tb:
+        raise ValueError(f"batch {b} must be a multiple of tile {tb}")
+    call = _build(plan, backward, tb, interpret)
+    return call(re, im)
+
+
+def cfft_pallas(
+    plan: _plan.Plan,
+    re: jax.Array,
+    im: jax.Array,
+    *,
+    backward: bool = False,
+    tb: int = DEFAULT_TB,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batch-major convenience: [B, N] planes (one transpose each way)."""
+
+    rr, ri = cfft_pallas_tmajor(
+        plan, re.T, im.T, backward=backward, tb=tb, interpret=interpret
+    )
+    return rr.T, ri.T

@@ -121,7 +121,7 @@ class FourStepPlan:
         dtype="float32",
         axis_name: Optional[str] = None,
         n1: Optional[int] = None,
-        max_factor: int = 5,
+        max_factor=None,
     ):
         self.mesh = mesh
         self.axis = axis_name or mesh.axis_names[0]

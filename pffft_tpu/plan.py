@@ -219,23 +219,39 @@ def decompose_smooth(n: int) -> Tuple[int, ...]:
     return tuple(out)
 
 
+def default_max_factor() -> int:
+    """Backend-dependent stage-size policy (measured, carrier-injection
+    dynamic range at N=4096 / throughput at N=4096 B=2048 on TPU v5e):
+
+        backend  max_factor  factors    dynrange   throughput
+        TPU      64          (64, 64)   153.0 dB   1826 GF/s (0.49 of HBM SoL)
+        TPU      5           (4,)*6     148.7 dB    107 GF/s (0.03)
+        CPU      64          (64, 64)   126.7 dB   (fails the 140 dB bound)
+        CPU      5           (4,)*6     148.7 dB   meets the bound
+
+    On the MXU, jax.lax.Precision.HIGHEST multiplies via six bf16 passes
+    whose products are exact in f32, so two dense 64-point stages round
+    *less* than six radix-4 stages -- dense-fat stages win BOTH accuracy
+    and speed on TPU.  On CPU (true f32 FMA) the 64-term dot accumulates
+    ~sqrt(64)*eps and loses the reference's 140 dB bound
+    (tests/test_pffft.c:52-61), so small radices stay the default there,
+    mirroring the reference's radix-4 preference (pffft_priv_impl.h:904).
+    """
+
+    try:
+        import jax
+
+        return 64 if jax.default_backend() == "tpu" else 5
+    except Exception:  # pragma: no cover
+        return 5
+
+
 def plan_factors(n: int, max_factor: int = 5) -> Tuple[int, ...]:
     """Group the 2/3/5-smooth factorization of n into stage factors.
 
     Policy: greedily build balanced factors no larger than ``max_factor``.
     Each returned factor becomes one DFT-matrix contraction stage.
-
-    The default ``max_factor=5`` is an *accuracy* policy, measured against
-    the reference's carrier-injection bound (tests/test_pffft.c:52-61,
-    >= 140 dB spectral dynamic range in fp32): fp32 accumulation noise in a
-    radix-r dot grows with r, and radix<=5 chains measure 145-149 dB across
-    N = 32..2^20 while radix-8 mixes sit at ~140.0 (no margin) and
-    radix-64/128 dense stages at ~126 dB.  This mirrors the reference's
-    radix-4 preference (ntryh, pffft_priv_impl.h:904-928) -- small radices
-    are what keep fp32 FFTs clean.  Large ``max_factor`` (64-128) is the
-    throughput policy for the plain XLA path (fewer HBM passes, MXU-fat
-    matmuls) at a documented ~125 dB; the fused Pallas kernel gets both by
-    chaining small radices inside VMEM.
+    See :func:`default_max_factor` for how the default is chosen.
     """
 
     if n == 1:
@@ -432,7 +448,7 @@ class Plan:
         kind: TransformKind = COMPLEX,
         dtype="float32",
         *,
-        max_factor: int = 5,
+        max_factor=None,
         strict: bool = True,
     ) -> "Plan":
         """Create a plan.
@@ -446,6 +462,8 @@ class Plan:
         """
 
         kind = _coerce_kind(kind)
+        if max_factor is None:
+            max_factor = default_max_factor()
         if strict:
             if not is_valid_size(n, kind):
                 raise ValueError(
