@@ -1,13 +1,16 @@
-"""FFT throughput sweep on the current backend (bench_pffft.c analog).
+"""FFT throughput sweep (bench_pffft.c analog) on the current backend.
 
-Protocol parity with /root/reference/benchmarks/bench_pffft.c: calibrated
-iteration budgets, >=150 ms windows, MFlops = 5 (cplx) / 2.5 (real) *
-N*log2(N) per transform.  Adds the TPU-native metrics: effective HBM
-bandwidth and fraction of measured speed-of-light (the PAPI/roofline analog,
-SURVEY.md §5.1).
+Protocol parity with /root/reference/benchmarks/bench_pffft.c: pow2 and
+non-pow2 N sweeps, MFlops = 5 (cplx) / 2.5 (real) * N*log2(N) per
+transform, markdown table + CSV emitters (bench-fft-table-*.txt /
+*-mflops.csv, bench_pffft.c:1304-1399).  TPU-native additions: effective
+HBM bandwidth and fraction of measured speed-of-light per entry (the
+roofline/PAPI analog, SURVEY.md §5.1), honest deferred-execution-safe
+timing (benchmarks/timing.py).
 
 Usage: python benchmarks/sweep_fft.py [--real] [--cplx] [--quick]
-       [--max-len N] [--batch-mib M] [--csv out.csv] [--cpu]
+       [--non-pow2] [--max-len N] [--batch-mib M] [--csv out.csv]
+       [--table out.txt] [--cpu] [--max-factor K]
 """
 
 import argparse
@@ -15,40 +18,11 @@ import json
 import math
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def time_fn(fn, args, min_dur=0.15):
-    out = fn(*args)
-    leaves = out if isinstance(out, tuple) else (out,)
-    for o in leaves:
-        o.block_until_ready()
-    t0 = time.perf_counter()
-    out = fn(*args)
-    (out[0] if isinstance(out, tuple) else out).block_until_ready()
-    once = time.perf_counter() - t0
-    iters = max(1, min(8192, int(min_dur / max(once, 1e-7)) + 1))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        (out[0] if isinstance(out, tuple) else out).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
-
-
-def peak_bw(jax, jnp, nbytes=256 << 20):
-    n = nbytes // 8
-    a = jnp.zeros((n,), jnp.float32)
-    b = jnp.ones((n,), jnp.float32)
-    probe = jax.jit(lambda x, y: x * 1.0000001 + y)
-    t = time_fn(probe, (a, b))
-    return (3 * n * 4) / t  # 2 reads + 1 write
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -57,10 +31,11 @@ def main():
     ap.add_argument("--cplx", action="store_true")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--max-len", type=int, default=1 << 17)
-    ap.add_argument("--batch-mib", type=int, default=64, help="working-set target per plane set")
+    ap.add_argument("--batch-mib", type=int, default=32, help="plane working set target")
     ap.add_argument("--csv", type=str, default=None)
+    ap.add_argument("--table", type=str, default=None)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--max-factor", type=int, default=5)
+    ap.add_argument("--max-factor", type=int, default=None)
     ap.add_argument("--non-pow2", action="store_true")
     args = ap.parse_args()
 
@@ -71,6 +46,7 @@ def main():
     import jax.numpy as jnp
 
     import pffft_tpu as pf
+    from timing import bench_op, measure_peak_bw
 
     kinds = []
     if args.real or not args.cplx:
@@ -83,43 +59,46 @@ def main():
     else:
         sizes = [1 << k for k in range(6, 25) if (1 << k) <= args.max_len]
     if args.quick:
-        sizes = sizes[:: 2]
+        sizes = sizes[::2]
 
     dev = jax.devices()[0]
-    bw = peak_bw(jax, jnp)
+    bw = measure_peak_bw(64 << 20 if args.quick else 256 << 20)
     print(f"# device={dev.platform} measured peak BW = {bw/1e9:.0f} GB/s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     rows = []
     for kind in kinds:
         for n in sizes:
-            if kind == "real" and not pf.is_valid_size(n, pf.REAL):
+            if not pf.is_valid_size(n, pf.REAL if kind == "real" else pf.COMPLEX):
                 continue
-            if kind == "cplx" and not pf.is_valid_size(n, pf.COMPLEX):
-                continue
-            batch = max(1, (args.batch_mib << 20) // (8 * n))
+            batch = max(8, (args.batch_mib << 20) // (4 * n))
             plan = pf.new_setup(n, pf.REAL if kind == "real" else pf.COMPLEX,
                                 max_factor=args.max_factor)
             if kind == "real":
                 x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-                fn = jax.jit(lambda v: pf.fft.transform_ordered_split(plan, v, pf.FORWARD))
-                targs = (x,)
+
+                def step(v, p=plan):
+                    sr, si = pf.fft.transform_ordered_split(p, v, pf.FORWARD)
+                    return (pf.fft.transform_ordered_split(p, (sr, si), pf.BACKWARD),)
+
+                t = bench_op(step, (x,)) / 2.0  # per transform (fwd+bwd pair)
                 bytes_min = (batch * n + 2 * batch * (n // 2)) * 4
                 mf = 2.5 * n * math.log2(n)
             else:
                 re = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
                 im = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-                fn = jax.jit(lambda r, i: pf.fft.transform_ordered_split(plan, (r, i), pf.FORWARD))
-                targs = (re, im)
+                step = lambda r, i, p=plan: pf.fft.transform_ordered_split(p, (r, i), pf.FORWARD)
+                t = bench_op(step, (re, im))
                 bytes_min = 4 * batch * n * 4
                 mf = 5.0 * n * math.log2(n)
-            t = time_fn(fn, targs)
-            gflops = mf * batch / t / 1e9
-            sol = (bytes_min / bw) / t
-            rows.append(dict(kind=kind, n=n, batch=batch, ns_per=t / batch * 1e9,
-                             gflops=round(gflops, 1), sol=round(sol, 3),
-                             factors=str(plan.factors)))
-            print(json.dumps(rows[-1]))
+            row = dict(kind=kind, n=n, batch=batch,
+                       ns_per=round(t / batch * 1e9, 2),
+                       gflops=round(mf * batch / t / 1e9, 1),
+                       sol=round((bytes_min / bw) / t, 3),
+                       factors=str(plan.factors))
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
     if args.csv:
         import csv
 
@@ -127,6 +106,15 @@ def main():
             w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
             w.writeheader()
             w.writerows(rows)
+    if args.table:
+        with open(args.table, "w") as f:
+            f.write(f"| kind | N | batch | ns/transform | GFLOP/s | SoL | factors |\n")
+            f.write("|---|---|---|---|---|---|---|\n")
+            for r in rows:
+                f.write(
+                    f"| {r['kind']} | {r['n']} | {r['batch']} | {r['ns_per']} "
+                    f"| {r['gflops']} | {r['sol']} | {r['factors']} |\n"
+                )
 
 
 if __name__ == "__main__":
