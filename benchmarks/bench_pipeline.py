@@ -1,0 +1,114 @@
+"""Composite pipeline benchmarks: channelizer, fastconv, mixer (TPU-ready).
+
+The bench_mixers.cpp / test_pffastconv.c speed-table analog (SURVEY.md §6):
+Msamples/s for the mixer and CIC-style chain, kSamples/s per filter length
+for fast convolution, channel-samples/s for the PFB channelizer — all in
+split/real format so they run on the TPU backend.
+
+Usage: python benchmarks/bench_pipeline.py [--cpu] [--quick] [--csv out]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--csv", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import pffft_tpu as pf
+    from pffft_tpu.channelizer import Channelizer, design_lowpass
+    from pffft_tpu.dsp import mixer_apply_split, mixer_init
+    from timing import bench_op, measure_peak_bw
+
+    rng = np.random.default_rng(0)
+    rows = []
+    bw = measure_peak_bw(64 << 20 if args.quick else 256 << 20)
+    print(f"# peak BW {bw/1e9:.0f} GB/s", file=sys.stderr)
+
+    def emit(**row):
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # --- mixer: Msamples/s (bench_mixers analog; one NCO over a long stream)
+    n = 1 << 22 if not args.quick else 1 << 20
+    xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    st = mixer_init(0.123)
+
+    def mix_step(r, i):
+        (orr, oi), _ = mixer_apply_split(st, r, i)
+        return orr, oi
+
+    t = bench_op(mix_step, (xr, xi))
+    emit(bench="mixer_shift", samples=n, msamp_s=round(n / t / 1e6, 1),
+         sol=round((4 * n * 4 / bw) / t, 3))
+
+    # --- fast convolution: kSamples/s per filterLen (test_pffastconv table)
+    stream_len = 1 << 21 if not args.quick else 1 << 18
+    x = jnp.asarray(rng.standard_normal(stream_len).astype(np.float32))
+    flens = [32, 128, 1024, 4096] if not args.quick else [128, 1024]
+    for flen in flens:
+        h = design_lowpass(flen, 0.1).astype(np.float32)
+        setup = pf.conv.FastConv(h)
+        total = stream_len - setup.nfft + 1
+        total = (total // setup.num_out_per_block) * setup.num_out_per_block
+
+        # output length != input: wrap to shape-preserving (loop-chainable)
+        def conv_fix(v, s=setup, tot=total):
+            y = s._conv_stream(v, tot)
+            return (jnp.concatenate([y, v[tot:]]),)
+
+        t = bench_op(conv_fix, (x,))
+        emit(bench="fastconv", filter_len=flen, nfft=setup.nfft,
+             ksamp_s=round(total / t / 1e3, 1),
+             ns_per_sample=round(t / total * 1e9, 2))
+
+    # --- channelizer: channel-samples/s (BASELINE config #5 single-chip)
+    m, p = (4096, 8) if not args.quick else (512, 8)
+    ch = Channelizer(m, p)
+    frames = 64 if not args.quick else 16
+    batch = 4
+    sr = jnp.asarray(rng.standard_normal((batch, frames * m)).astype(np.float32))
+    si = jnp.asarray(rng.standard_normal((batch, frames * m)).astype(np.float32))
+    state = ch.init_state((batch,))
+
+    def chan_step(r, i):
+        (yr, yi), _ = ch.process_split(state, r, i)
+        # shape-preserving wrap: outputs reshape to input length
+        return yr.reshape(r.shape), yi.reshape(i.shape)
+
+    t = bench_op(chan_step, (sr, si))
+    in_samps = batch * frames * m
+    emit(bench="channelizer", channels=m, taps_per_channel=p, batch=batch,
+         msamp_s=round(in_samps / t / 1e6, 1),
+         sol=round((4 * in_samps * 4 / bw) / t, 3))  # 2 planes in + 2 out
+
+    if args.csv:
+        import csv
+
+        keys = sorted({k for r in rows for k in r})
+        with open(args.csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(rows)
+
+
+if __name__ == "__main__":
+    main()

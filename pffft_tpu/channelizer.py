@@ -67,9 +67,14 @@ def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming") -> np.
 
 
 class ChannelizerState(NamedTuple):
-    """Streaming history: the last P*M input samples."""
+    """Streaming history: the last P*M input samples, planar re/im.
 
-    hist: jax.Array  # [P*M] complex
+    Planar split format so the state (and the whole pipeline) runs on the
+    TPU backend, which has no complex dtypes (see ops/split.py).
+    """
+
+    hist_re: jax.Array  # [..., P*M] float
+    hist_im: jax.Array
 
 
 class Channelizer:
@@ -102,13 +107,19 @@ class Channelizer:
         self.plan = _plan.Plan.create(m, _plan.COMPLEX, dtype, strict=False)
 
     def init_state(self, channels_shape: Tuple[int, ...] = ()) -> ChannelizerState:
-        return ChannelizerState(
-            hist=jnp.zeros((*channels_shape, self.p * self.m), dtype=self.plan.cdtype)
-        )
+        z = jnp.zeros((*channels_shape, self.p * self.m), dtype=self.dtype)
+        return ChannelizerState(hist_re=z, hist_im=z)
 
     # ------------------------------------------------------------------
-    def _pfb(self, ext: jax.Array, k_frames: int) -> jax.Array:
-        """ext [..., P*M + L] (history-prefixed) -> [..., K, M] channels.
+    def _frame_idx(self, k_frames: int) -> np.ndarray:
+        m, p = self.m, self.p
+        k_idx = np.arange(k_frames)[:, None, None]
+        s_idx = np.arange(p)[None, :, None]
+        phi_idx = np.arange(m)[None, None, :]
+        return (p + k_idx - s_idx) * m - phi_idx  # [K, P, M], all >= 1
+
+    def _pfb_split(self, extr: jax.Array, exti: jax.Array, k_frames: int):
+        """ext planes [..., P*M + L] (history-prefixed) -> ([..., K, M]) x2.
 
         Exact identity produced (verified in tests/test_channelizer.py):
 
@@ -119,16 +130,30 @@ class Channelizer:
         unscaled backward DFT over phi (channel extraction).
         """
 
-        m, p = self.m, self.p
-        k_idx = np.arange(k_frames)[:, None, None]
-        s_idx = np.arange(p)[None, :, None]
-        phi_idx = np.arange(m)[None, None, :]
-        idx = (p + k_idx - s_idx) * m - phi_idx  # [K, P, M], all >= 1
-        fr = ext[..., idx]  # [..., K, P, M]
-        v = jnp.einsum("...ksm,sm->...km", fr, self.weights.astype(fr.dtype))
-        # channel extraction: y[k, c] = sum_phi v[k, phi] e^{+2i pi c phi / M}
-        # == unscaled backward FFT over the phase axis.
-        return _fft.transform_ordered(self.plan, v, _plan.BACKWARD)
+        idx = self._frame_idx(k_frames)
+        w = self.weights
+        vr = jnp.einsum("...ksm,sm->...km", extr[..., idx], w.astype(extr.dtype))
+        vi = jnp.einsum("...ksm,sm->...km", exti[..., idx], w.astype(exti.dtype))
+        return _fft.transform_ordered_split(self.plan, (vr, vi), _plan.BACKWARD)
+
+    def process_split(
+        self, state: ChannelizerState, x_re: jax.Array, x_im: jax.Array
+    ) -> Tuple[Tuple[jax.Array, jax.Array], ChannelizerState]:
+        """Split-format stream step (the TPU-native entry):
+        planes [..., L] x2 -> (([..., L//M, M]) x2, state')."""
+
+        if x_re.shape[-1] % self.m:
+            raise ValueError(
+                f"stream chunk length {x_re.shape[-1]} must be a multiple of M={self.m}"
+            )
+        extr = jnp.concatenate([state.hist_re, x_re.astype(self.dtype)], axis=-1)
+        exti = jnp.concatenate([state.hist_im, x_im.astype(self.dtype)], axis=-1)
+        yr, yi = self._pfb_split(extr, exti, x_re.shape[-1] // self.m)
+        hist = self.p * self.m
+        new_state = ChannelizerState(
+            hist_re=extr[..., -hist:], hist_im=exti[..., -hist:]
+        )
+        return (yr, yi), new_state
 
     def process(
         self, state: ChannelizerState, x: jax.Array
@@ -137,15 +162,12 @@ class Channelizer:
 
         Y[..., k, c] is channel c of output frame k at rate fs/M; frame k of
         this chunk samples the filtered stream at chunk-local time k*M.
+        Complex-dtype convenience over :meth:`process_split`.
         """
 
-        if x.shape[-1] % self.m:
-            raise ValueError(f"stream chunk length {x.shape[-1]} must be a multiple of M={self.m}")
         x = x.astype(self.plan.cdtype)
-        ext = jnp.concatenate([state.hist, x], axis=-1)
-        y = self._pfb(ext, x.shape[-1] // self.m)
-        new_state = ChannelizerState(hist=ext[..., -self.p * self.m :])
-        return y, new_state
+        (yr, yi), st = self.process_split(state, jnp.real(x), jnp.imag(x))
+        return jax.lax.complex(yr, yi).astype(self.plan.cdtype), st
 
     @functools.cached_property
     def jitted_process(self):

@@ -5,6 +5,7 @@ TPU-native re-design of the reference's pf_mixer/pf_carrier/pf_cic
 """
 
 from .mixer import (
+    mixer_apply_split,
     MixerState,
     mixer_init,
     mixer_apply,
@@ -40,7 +41,7 @@ from .carrier import (
 from .cic import CicState, cicddc_init, cicddc_apply, CicDDC
 
 __all__ = [
-    "MixerState", "mixer_init", "mixer_apply", "Mixer",
+    "MixerState", "mixer_init", "mixer_apply", "mixer_apply_split", "Mixer",
     "shift_math_cc", "shift_table_init", "shift_table_cc",
     "shift_addfast_init", "shift_addfast_cc",
     "shift_unroll_init", "shift_unroll_cc",

@@ -113,6 +113,25 @@ def mixer_apply(state: MixerState, x: jax.Array) -> Tuple[jax.Array, MixerState]
     return x * carrier, _advance(state, n)
 
 
+@jax.jit
+def _nco_carrier_split(state: MixerState, k: jax.Array):
+    ph = state.phase_fp + k * state.rate_fp
+    ang = ph.astype(jnp.float32) * _PHASE_SCALE
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def mixer_apply_split(
+    state: MixerState, x_re: jax.Array, x_im: jax.Array
+) -> Tuple[Tuple[jax.Array, jax.Array], MixerState]:
+    """Split-format (planar re/im) mixer_apply — the TPU-native entry
+    (complex dtypes do not exist on the TPU backend; see ops/split.py)."""
+
+    n = x_re.shape[-1]
+    cr, ci = _nco_carrier_split(state, jnp.arange(n, dtype=jnp.uint32))
+    out = (x_re * cr - x_im * ci, x_re * ci + x_im * cr)
+    return out, _advance(state, n)
+
+
 def mixer_carrier(state: MixerState, n: int) -> Tuple[jax.Array, MixerState]:
     """Generate n carrier samples (pure NCO output) and advance."""
 

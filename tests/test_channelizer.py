@@ -117,3 +117,19 @@ def test_ddc_chain_streaming_continuity():
     mixed = xall.astype(np.complex128) * np.exp(2j * np.pi * 0.07 * n)
     ref = np.convolve(mixed, h.astype(np.float64))[: xall.size : 2]
     assert np.abs(got - ref).max() < 2e-5
+
+
+def test_process_split_matches_complex():
+    """Planar channelizer step (the TPU path) == complex-dtype step."""
+
+    m, p = 16, 4
+    ch = Channelizer(m, p)
+    r = _rng(21)
+    x = (r.standard_normal((2, 8 * m)) + 1j * r.standard_normal((2, 8 * m))).astype(np.complex64)
+    yc, stc = ch.process(ch.init_state((2,)), jnp.asarray(x))
+    (yr, yi), sts = ch.process_split(
+        ch.init_state((2,)), jnp.real(jnp.asarray(x)), jnp.imag(jnp.asarray(x))
+    )
+    np.testing.assert_allclose(np.asarray(yr), np.real(np.asarray(yc)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yi), np.imag(np.asarray(yc)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sts.hist_re), np.real(np.asarray(stc.hist_re)), atol=0)

@@ -255,3 +255,19 @@ def test_cic_decimation_lowpass():
     a_dc = np.mean(np.abs(np.asarray(out_dc)[8:]))
     a_tone = np.mean(np.abs(np.asarray(out_tone)[8:]))
     assert a_dc / max(a_tone, 1e-12) > 1000  # > 60 dB CIC rejection
+
+
+def test_mixer_apply_split_matches_complex():
+    """Planar mixer (the TPU path) must match the complex-dtype mixer."""
+
+    import jax.numpy as jnp
+    from pffft_tpu.dsp import mixer_apply, mixer_apply_split, mixer_init
+
+    r = np.random.default_rng(0)
+    x = (r.standard_normal(500) + 1j * r.standard_normal(500)).astype(np.complex64)
+    st = mixer_init(0.217, 1.1)
+    ref, st_a = mixer_apply(st, jnp.asarray(x))
+    (gr, gi), st_b = mixer_apply_split(st, jnp.real(jnp.asarray(x)), jnp.imag(jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(gr), np.real(np.asarray(ref)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gi), np.imag(np.asarray(ref)), atol=1e-6)
+    assert int(st_a.phase_fp) == int(st_b.phase_fp)
