@@ -44,8 +44,11 @@ _PHASE_SCALE = np.float32(2.0 * np.pi / _TWO32)
 
 
 class CicState(NamedTuple):
+    """Planar streaming state (runs on the TPU backend: no complex dtypes)."""
+
     phase_fp: jax.Array  # uint32 NCO phase
-    hist: jax.Array      # [2R] complex64 mixed-sample history
+    hist_re: jax.Array   # [2R] float32 mixed-sample history
+    hist_im: jax.Array
 
 
 def _boxcar3(r: int) -> np.ndarray:
@@ -68,21 +71,19 @@ class CicDDC:
         self.gain = np.float32(1.0 / self.factor**3)
 
     def init_state(self) -> CicState:
-        return CicState(
-            phase_fp=jnp.zeros((), dtype=jnp.uint32),
-            hist=jnp.zeros(2 * self.factor, dtype=jnp.complex64),
-        )
+        z = jnp.zeros(2 * self.factor, dtype=jnp.float32)
+        return CicState(phase_fp=jnp.zeros((), dtype=jnp.uint32), hist_re=z, hist_im=z)
 
     # ------------------------------------------------------------------
-    def _mix(self, x: jax.Array, phase_fp, rate_fp) -> jax.Array:
+    def _mix_split(self, xr, xi, phase_fp, rate_fp):
         """Multiply by the downconversion carrier (-sin + i*cos), the
-        reference's table convention (pf_cic.cpp:107-109)."""
+        reference's table convention (pf_cic.cpp:107-109); planar."""
 
-        n = x.shape[0]
+        n = xr.shape[0]
         k = jnp.arange(n, dtype=jnp.uint32)
         ang = (phase_fp + k * rate_fp).astype(jnp.float32) * _PHASE_SCALE
-        carrier = jax.lax.complex(-jnp.sin(ang), jnp.cos(ang))
-        return x.astype(jnp.complex64) * carrier
+        cr, ci = -jnp.sin(ang), jnp.cos(ang)
+        return xr * cr - xi * ci, xr * ci + xi * cr
 
     def apply(self, state: CicState, x: jax.Array, rate: float, fmt: str = "f") -> Tuple[jax.Array, CicState]:
         """Process R*K input samples into K output samples.
@@ -105,15 +106,28 @@ class CicDDC:
                 x = x.reshape(-1, 2)
                 x = jax.lax.complex(x[:, 0].astype(jnp.float32), x[:, 1].astype(jnp.float32))
         elif fmt == "cu8":
-            xi = x.reshape(-1, 2).astype(jnp.int32)
-            xs = (xi << 8) - 32614
+            raw = x.reshape(-1, 2).astype(jnp.int32)
+            xs = (raw << 8) - 32614
             x = jax.lax.complex(xs[:, 0].astype(jnp.float32), xs[:, 1].astype(jnp.float32))
         elif fmt == "f":
             scale = 1.0  # already-normalized float/complex input
         else:
             raise ValueError(f"unknown fmt {fmt!r}")
 
-        n = int(x.shape[0])
+        if jnp.iscomplexobj(x):
+            xr, xi = jnp.real(x), jnp.imag(x)
+        else:
+            xr, xi = x, jnp.zeros_like(x)
+        (yr, yi), new_state = self.apply_split(
+            state, xr.astype(jnp.float32), xi.astype(jnp.float32), rate, scale=scale
+        )
+        return jax.lax.complex(yr, yi), new_state
+
+    def apply_split(self, state: CicState, xr, xi, rate: float, scale: float = 1.0):
+        """Planar (TPU-native) apply: float planes in, float planes out."""
+
+        r = self.factor
+        n = int(xr.shape[0])
         if n % r:
             raise ValueError(f"input length {n} must be a multiple of factor {r}")
         k_out = n // r
@@ -121,21 +135,24 @@ class CicDDC:
             np.uint32(np.uint64(round((float(rate) % 1.0) * _TWO32)) & np.uint64(0xFFFFFFFF)),
             dtype=jnp.uint32,
         )
-        return self._apply_jit(state, x, rate_fp, k_out, np.float32(scale))
+        return self._apply_jit(state, xr, xi, rate_fp, k_out, np.float32(scale))
 
-    def _apply_jit(self, state, x, rate_fp, k_out, scale):
+    def _apply_jit(self, state, xr, xi, rate_fp, k_out, scale):
         r = self.factor
-        mixed = self._mix(x, state.phase_fp, rate_fp)
-        ext = jnp.concatenate([state.hist, mixed])  # [2R + RK]
+        mr, mi = self._mix_split(xr, xi, state.phase_fp, rate_fp)
+        extr = jnp.concatenate([state.hist_re, mr])  # [2R + RK]
+        exti = jnp.concatenate([state.hist_im, mi])
         idx = np.arange(k_out)[:, None] * r + np.arange(3 * r - 2)[None, :]
-        frames = ext[idx]  # [K, 3R-2]
-        out = frames @ self.b3_rev.astype(frames.dtype)
-        out = out * (self.gain * scale)
+        b3 = self.b3_rev
+        g = self.gain * scale
+        yr = (extr[idx] @ b3) * g
+        yi = (exti[idx] @ b3) * g
         new_state = CicState(
-            phase_fp=state.phase_fp + jnp.uint32(x.shape[0]) * rate_fp,
-            hist=ext[-2 * r :],
+            phase_fp=state.phase_fp + jnp.uint32(xr.shape[0]) * rate_fp,
+            hist_re=extr[-2 * r :],
+            hist_im=exti[-2 * r :],
         )
-        return out, new_state
+        return (yr, yi), new_state
 
 
 def cicddc_init(factor: int) -> Tuple[CicDDC, CicState]:
