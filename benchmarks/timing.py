@@ -29,10 +29,19 @@ __all__ = ["bench_op", "measure_peak_bw"]
 
 
 def _fetch(out) -> float:
-    """Force execution: reduce the first leaf to a scalar and fetch it."""
+    """Force execution: fully reduce EVERY leaf and fetch the scalar.
 
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(jnp.sum(jnp.ravel(leaf)[:16]))
+    The axon runtime is lazy at the graph level: fetching a slice can
+    evaluate only that slice's dependency cone, silently skipping the rest
+    of an elementwise pipeline.  A full-array reduction over all outputs
+    leaves nothing dead.
+    """
+
+    total = None
+    for leaf in jax.tree_util.tree_leaves(out):
+        s = jnp.sum(leaf)
+        total = s if total is None else total + s
+    return float(total)
 
 
 def _looped(step: Callable, iters: int):

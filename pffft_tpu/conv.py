@@ -131,8 +131,13 @@ class FastConv:
                     g[(nfft - cplx_factor * i) % nfft] = h[i].real
                 else:
                     g[(nfft - cplx_factor * i) % nfft] = h[filter_len - 1 - i].real
-            hf = _fft.transform(self.plan, jnp.asarray(g.astype(self.dtype)), _plan.FORWARD)
-        self.hf = hf  # filter spectrum, internal layout, cached in the plan
+            # planar filter spectrum: the compute path is split-format so it
+            # runs on the TPU backend (no complex dtypes there)
+            self.hf_re, self.hf_im = _fft.transform_split(
+                self.plan, jnp.asarray(g.astype(self.dtype)), _plan.FORWARD
+            )
+            hf = None
+        self._hf_cplx = hf  # complex-filter path only (CPU engine)
 
     # ------------------------------------------------------------------
     @property
@@ -154,14 +159,37 @@ class FastConv:
         idx = np.arange(nb)[:, None] * u + np.arange(self.nfft)[None, :]
         return xp[idx], nb, u
 
+    @property
+    def hf(self) -> jax.Array:
+        """Filter spectrum (internal layout) as a complex array.
+
+        Convenience for complex-dtype callers; the compute path uses the
+        planar ``hf_re``/``hf_im`` pair.
+        """
+
+        if self._hf_cplx is not None:
+            return self._hf_cplx
+        return jax.lax.complex(self.hf_re, self.hf_im).astype(self.plan.cdtype)
+
     @functools.lru_cache(maxsize=256)
     def _jitted_pipeline(self, nb: int):
-        plan, hf, scale = self.plan, self.hf, self.scale
+        plan, scale = self.plan, self.scale
+        if self.cplx_filter:
+            hf = self._hf_cplx
 
-        def pipe(frames):  # [nb, Nfft]
-            xf = _fft.transform(plan, frames, _plan.FORWARD)
-            mf = _fft.zconvolve_no_accu(plan, xf, hf, scale)
-            return _fft.transform(plan, mf, _plan.BACKWARD)
+            def pipe(frames):  # [nb, Nfft] complex
+                xf = _fft.transform(plan, frames, _plan.FORWARD)
+                mf = _fft.zconvolve_no_accu(plan, xf, hf, scale)
+                return _fft.transform(plan, mf, _plan.BACKWARD)
+
+            return jax.jit(pipe)
+
+        hr, hi = self.hf_re, self.hf_im
+
+        def pipe(frames):  # [nb, Nfft] real, planar spectral path throughout
+            sr, si = _fft.transform_split(plan, frames, _plan.FORWARD)
+            mr, mi = _fft.zconvolve_split(plan, (sr, si), (hr, hi), scale)
+            return _fft.transform_split(plan, (mr, mi), _plan.BACKWARD)
 
         return jax.jit(pipe)
 
