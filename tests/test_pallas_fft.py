@@ -79,3 +79,43 @@ def test_pallas_rejects_bad_shapes():
     y = jnp.zeros((512, 128), jnp.float32)  # wrong length
     with pytest.raises(ValueError):
         pk.cfft_pallas_tmajor(plan, y, y, interpret=True)
+
+
+def test_dispatch_registry():
+    """Engine dispatcher (pf_conv_dispatcher analog): selection + forcing."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    plan5 = pf.new_setup(1024, pf.COMPLEX, max_factor=5)
+    plan64 = pf.new_setup(1024, pf.COMPLEX, max_factor=64)
+    # radix<=5 plan, tile-aligned time-major batch -> both engines
+    assert dp.available_engines(plan5, 256, True) == ("xla", "pallas")
+    # dense-64 factors are not expressible in the fused kernel
+    assert dp.available_engines(plan64, 256, True) == ("xla",)
+    # misaligned batch / batch-major -> xla only
+    assert dp.available_engines(plan5, 100, True) == ("xla",)
+    assert dp.available_engines(plan5, 256, False) == ("xla",)
+
+    assert dp.select_engine(plan5, 256, True) == "xla"  # measured default
+    dp.set_engine("pallas")
+    try:
+        assert dp.select_engine(plan5, 256, True) == "pallas"
+        with pytest.raises(ValueError):
+            dp.select_engine(plan64, 256, True)
+    finally:
+        dp.set_engine(None)
+    with pytest.raises(ValueError):
+        dp.set_engine("cuda")
+
+
+def test_dispatch_results_agree():
+    from pffft_tpu.ops import dispatch as dp
+
+    plan = pf.new_setup(512, pf.COMPLEX, max_factor=5)
+    r = _rng(9)
+    re = jnp.asarray(r.standard_normal((512, 128)).astype(np.float32))
+    im = jnp.asarray(r.standard_normal((512, 128)).astype(np.float32))
+    xr, xi = dp.cfft_dispatch(plan, re, im, time_major=True)
+    ref = np.fft.fft(np.asarray(re).astype(np.float64).T + 1j * np.asarray(im).astype(np.float64).T).T
+    got = np.asarray(xr) + 1j * np.asarray(xi)
+    assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
