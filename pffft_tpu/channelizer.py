@@ -118,6 +118,24 @@ class Channelizer:
         phi_idx = np.arange(m)[None, None, :]
         return (p + k_idx - s_idx) * m - phi_idx  # [K, P, M], all >= 1
 
+    def _frames(self, ext: jax.Array, k: int) -> jax.Array:
+        """[..., P*M + L] -> [..., K, P, M] with fr[k, s, phi] =
+        ext[(P + k - s)*M - phi].
+
+        Built from flip + reshape + slice + stack — NO integer-array gather
+        (XLA gathers serialize badly on TPU).  Derivation: with
+        f = flip(ext) and g = f[M-1:], u[q, phi] := ext[q*M - phi] equals
+        g[(P+K-q-1)*M + phi]; rows of g.reshape(P+K-1, M) are u[q] in
+        descending q, and fr[:, s] is a reversed contiguous row slice.
+        """
+
+        m, p = self.m, self.p
+        f = ext[..., ::-1]
+        g = f[..., m - 1 : m - 1 + (p + k - 1) * m]
+        rows = g.reshape(*g.shape[:-1], p + k - 1, m)
+        slabs = [jnp.flip(rows[..., s : s + k, :], axis=-2) for s in range(p)]
+        return jnp.stack(slabs, axis=-2)  # [..., K, P, M]
+
     def _pfb_split(self, extr: jax.Array, exti: jax.Array, k_frames: int):
         """ext planes [..., P*M + L] (history-prefixed) -> ([..., K, M]) x2.
 
@@ -130,10 +148,9 @@ class Channelizer:
         unscaled backward DFT over phi (channel extraction).
         """
 
-        idx = self._frame_idx(k_frames)
         w = self.weights
-        vr = jnp.einsum("...ksm,sm->...km", extr[..., idx], w.astype(extr.dtype))
-        vi = jnp.einsum("...ksm,sm->...km", exti[..., idx], w.astype(exti.dtype))
+        vr = jnp.einsum("...ksm,sm->...km", self._frames(extr, k_frames), w.astype(extr.dtype))
+        vi = jnp.einsum("...ksm,sm->...km", self._frames(exti, k_frames), w.astype(exti.dtype))
         return _fft.transform_ordered_split(self.plan, (vr, vi), _plan.BACKWARD)
 
     def process_split(

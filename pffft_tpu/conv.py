@@ -150,13 +150,27 @@ class FastConv:
     def _frame(self, x: jax.Array, total_out: int):
         """Frame a scalar stream [L] into [nb, Nfft] blocks at stride u,
         zero-padding past the end (equivalent to the reference's tail
-        memset, pffastconv.c:181-183)."""
+        memset, pffastconv.c:181-183).
+
+        TPU-critical detail: built from reshape + slice + concatenate, NOT
+        an integer-array gather — XLA gathers serialize badly on TPU.  The
+        Nfft negotiation guarantees Nfft <= 2u (filter span <= Nfft/2 + 1),
+        so every frame lies within two consecutive u-chunks.
+        """
 
         u = self.num_out_per_block
+        nfft = self.nfft
         nb = -(-total_out // u)  # ceil
-        pad_len = (nb - 1) * u + self.nfft
+        if nfft <= 2 * u:
+            pad_len = (nb + 1) * u
+            xp = jnp.pad(x, (0, max(0, pad_len - x.shape[0])))[:pad_len]
+            x2 = xp.reshape(nb + 1, u)
+            frames = jnp.concatenate([x2[:-1], x2[1:]], axis=-1)[:, :nfft]
+            return frames, nb, u
+        # fallback (not reachable through the public negotiation)
+        pad_len = (nb - 1) * u + nfft
         xp = jnp.pad(x, (0, max(0, pad_len - x.shape[0])))
-        idx = np.arange(nb)[:, None] * u + np.arange(self.nfft)[None, :]
+        idx = np.arange(nb)[:, None] * u + np.arange(nfft)[None, :]
         return xp[idx], nb, u
 
     @property
