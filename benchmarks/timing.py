@@ -24,6 +24,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["bench_op", "measure_peak_bw"]
 
@@ -45,13 +46,21 @@ def _fetch(out) -> float:
 
 
 def _looped(step: Callable, iters: int):
-    """One jitted dispatch running ``step`` iters times with a carried tuple."""
+    """One jitted dispatch running ``step`` iters times with a carried tuple.
+
+    An ``optimization_barrier`` separates iterations: without it XLA can
+    unroll the loop and fuse a chain of elementwise iterations into ONE
+    pass over memory (measured: a 40-iteration elementwise 'benchmark'
+    costing one iteration's HBM traffic, apparent bandwidth 15x the
+    physical peak).
+    """
 
     @jax.jit
     def run(args):
         def body(_, c):
             out = step(*c)
-            return out if isinstance(out, tuple) else (out,)
+            out = out if isinstance(out, tuple) else (out,)
+            return jax.lax.optimization_barrier(out)
 
         return jax.lax.fori_loop(0, iters, body, args)
 
@@ -93,15 +102,21 @@ def bench_op(
 
 
 def measure_peak_bw(nbytes: int = 512 << 20) -> float:
-    """Peak sustainable HBM bandwidth (bytes/s) via a saturating
-    elementwise kernel: 2 plane reads + 2 plane writes per iteration."""
+    """Peak sustainable HBM bandwidth (bytes/s).
 
-    n = nbytes // 16
-    a = jnp.ones((n,), jnp.float32)
-    b = jnp.full((n,), 0.5, jnp.float32)
+    Probe: a chained tall-skinny matmul ``y = y @ W`` with W [128, 128]
+    bf16-precision — ~32 flops/byte, far below the MXU ridge, so it is
+    bandwidth-bound; being a dot (not elementwise) it cannot be
+    cross-iteration fused, and the barrier in bench_op separates
+    iterations.  Counted bytes: one read + one write of y per iteration.
+    """
 
-    def probe(x, y):
-        return x * 1.0000001 + y * 0.999999, y * 1.0000002 - x * 0.000001
+    rows = max(1, nbytes // (2 * 128 * 4))
+    y = jnp.ones((rows, 128), jnp.float32)
+    w = jnp.asarray(np.eye(128, dtype=np.float32) * 0.999)
 
-    t = bench_op(probe, (a, b))
-    return 16 * n / t
+    def probe(v, w_):
+        return jnp.dot(v, w_, precision=jax.lax.Precision.DEFAULT), w_
+
+    t = bench_op(probe, (y, w))
+    return 2 * rows * 128 * 4 / t

@@ -53,6 +53,7 @@ from .fft import (
 
 # Submodules as attributes (pffft_tpu.conv / .dsp / .channelizer / .parallel)
 from . import conv
+from . import dct
 from . import dsp
 from . import channelizer
 from . import fft
@@ -85,6 +86,7 @@ __all__ = [
     "transform_ordered_split",
     "zconvolve_split",
     "conv",
+    "dct",
     "dsp",
     "channelizer",
     "fft",

@@ -1,0 +1,143 @@
+"""Device DCT/DST transforms through the batched FFT engine.
+
+The reference carries DCT/DST only inside its FFTPACK oracle
+(cost/sint/cosqf/..., /root/reference/src/fftpack.h:72-86); here they are
+first-class batched device transforms built on the split-format engine, so
+they run on TPU (no complex dtypes; all reorderings are slice/flip/concat
+constructions, no gathers).
+
+Conventions match FFTPACK / pffft_tpu.oracle exactly (unnormalized):
+
+  dct1 (cost): X[k] = x[0] + (-1)^k x[N-1] + 2 sum_{0<j<N-1} x[j] cos(pi j k/(N-1))
+  dst1 (sint): X[k] = 2 sum_j x[j] sin(pi (j+1)(k+1)/(N+1))
+  dct2 (cosqb): X[k] = 2 sum_j x[j] cos(pi k (2j+1) / 2N)
+  dct3 (cosqf): X[k] = x[0] + 2 sum_{j>=1} x[j] cos(pi j (2k+1) / 2N)
+  dst2 (sinqb): X[k] = 2 sum_j x[j] sin(pi (k+1)(2j+1) / 2N)
+  dst3 (sinqf): X[k] = (-1)^k x[N-1] + 2 sum_{j<N-1} x[j] sin(pi (j+1)(2k+1)/2N)
+
+Inverse pairs: dct1 involutary up to 2(N-1); dst1 up to 2(N+1);
+dct3(dct2(x)) == dst3(dst2(x)) == 2N x.
+
+Constructions (each verified against the oracle in tests/test_dct.py):
+  dct1: N-term even extension -> 2(N-1)-point FFT real part.
+  dst1: odd extension -> 2(N+1)-point FFT, -imag part.
+  dct2: Makhoul even-odd permutation v = [x0, x2, .., x3, x1] ->
+        N-point FFT -> modulate by e^{-i pi k/2N}.
+  dct3: exact inverse of the dct2 construction (A[k] = x[k] - i x[N-k],
+        V = e^{+i pi k/2N} A, unscaled backward FFT, un-permute).
+  dst2(x) = flip(dct2(x * (-1)^n));  dst3(x) = (-1)^k * dct3(flip(x)).
+
+Size support: the internal FFT length (2(N-1), 2(N+1), or N) must be
+2/3/5-smooth; dct2/dct3/dst2/dst3 additionally need even N (for the
+slice-based un-permutation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import plan as _plan
+from .ops import split as _split
+
+__all__ = ["dct1", "dst1", "dct2", "dct3", "dst2", "dst3",
+           "cost", "sint", "cosqb", "cosqf", "sinqb", "sinqf"]
+
+
+def _cfft_split(re, im, n, dtype, backward=False):
+    p = _plan.Plan.create(n, _plan.COMPLEX, np.dtype(dtype).name, strict=False)
+    return _split.cfft_stages_split(re, im, p.stages, backward=backward, ordered=True)
+
+
+@functools.lru_cache(maxsize=256)
+def _halfsec_tables(n: int, dtype_str: str) -> Tuple[np.ndarray, np.ndarray]:
+    """cos/sin(pi k / 2N) for k = 0..N-1 (float64 host conditioning)."""
+
+    k = np.arange(n, dtype=np.float64)
+    ang = np.pi * k / (2.0 * n)
+    dt = np.dtype(dtype_str)
+    return np.cos(ang).astype(dt), np.sin(ang).astype(dt)
+
+
+def _sgn(n: int, dtype) -> jax.Array:
+    return jnp.asarray(((-1.0) ** np.arange(n)).astype(np.dtype(dtype).name))
+
+
+def dct1(x: jax.Array) -> jax.Array:
+    """DCT-I (FFTPACK cost), batched over leading axes."""
+
+    n = x.shape[-1]
+    ext = jnp.concatenate([x, x[..., -2:0:-1]], axis=-1)  # even extension, 2(N-1)
+    re, _ = _cfft_split(ext, jnp.zeros_like(ext), 2 * (n - 1), x.dtype)
+    return re[..., :n]
+
+
+def dst1(x: jax.Array) -> jax.Array:
+    """DST-I (FFTPACK sint), batched."""
+
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    zero = jnp.zeros((*lead, 1), dtype=x.dtype)
+    ext = jnp.concatenate([zero, x, zero, -x[..., ::-1]], axis=-1)  # 2(N+1)
+    _, im = _cfft_split(ext, jnp.zeros_like(ext), 2 * (n + 1), x.dtype)
+    return -im[..., 1 : n + 1]
+
+
+def dct2(x: jax.Array) -> jax.Array:
+    """DCT-II (FFTPACK cosqb), batched (even N)."""
+
+    n = x.shape[-1]
+    if n % 2:
+        raise ValueError("dct2 requires even N")
+    v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
+    vr, vi = _cfft_split(v, jnp.zeros_like(v), n, x.dtype)
+    cr, sr = _halfsec_tables(n, np.dtype(x.dtype).name)
+    # C[k] = 2 Re(e^{-i pi k/2N} V[k]) = 2 (cos*Re + sin*Im)
+    return 2.0 * (jnp.asarray(cr) * vr + jnp.asarray(sr) * vi)
+
+
+def dct3(x: jax.Array) -> jax.Array:
+    """DCT-III (FFTPACK cosqf), batched (even N); dct3(dct2(x)) == 2N x."""
+
+    n = x.shape[-1]
+    if n % 2:
+        raise ValueError("dct3 requires even N")
+    cr, sr = _halfsec_tables(n, np.dtype(x.dtype).name)
+    cr = jnp.asarray(cr)
+    sr = jnp.asarray(sr)
+    # A[k] = x[k] - i x[N-k] (x[N] := 0);  V[k] = e^{+i pi k/2N} A[k]
+    xs = jnp.concatenate([jnp.zeros_like(x[..., :1]), x[..., :0:-1]], axis=-1)
+    vr = cr * x + sr * xs
+    vi = sr * x - cr * xs
+    br, _ = _cfft_split(vr, vi, n, x.dtype, backward=True)  # unscaled IDFT * N
+    # un-permute: v[j] = y[2j] for j < N/2, v[N-1-j] = y[2j+1]
+    ev = br[..., : n // 2]
+    od = br[..., n // 2 :][..., ::-1]
+    return jnp.stack([ev, od], axis=-1).reshape(*x.shape[:-1], n)
+
+
+def dst2(x: jax.Array) -> jax.Array:
+    """DST-II (FFTPACK sinqb): dst2(x) = flip(dct2(x * (-1)^n))."""
+
+    n = x.shape[-1]
+    return dct2(x * _sgn(n, x.dtype))[..., ::-1]
+
+
+def dst3(x: jax.Array) -> jax.Array:
+    """DST-III (FFTPACK sinqf): dst3(x) = (-1)^k * dct3(flip(x))."""
+
+    n = x.shape[-1]
+    return _sgn(n, x.dtype) * dct3(x[..., ::-1])
+
+
+# FFTPACK names
+cost = dct1
+sint = dst1
+cosqb = dct2
+cosqf = dct3
+sinqb = dst2
+sinqf = dst3

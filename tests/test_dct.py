@@ -1,0 +1,74 @@
+"""Device DCT/DST vs the FFTPACK-convention oracle (all six transforms)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pffft_tpu import dct as d
+from pffft_tpu import oracle
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# N chosen so internal FFT lengths (2(N-1), 2(N+1), N) are 2/3/5-smooth
+DCT1_N = [9, 25, 65, 121]          # 2(N-1) = 16, 48, 128, 240
+DST1_N = [7, 24, 63, 127]          # 2(N+1) = 16, 50, 128, 256
+Q_N = [8, 16, 60, 128, 480]        # even, smooth
+
+
+@pytest.mark.parametrize("n", DCT1_N)
+def test_dct1_matches_oracle(n):
+    x = _rng(n).standard_normal((3, n)).astype(np.float32)
+    got = np.asarray(d.dct1(jnp.asarray(x)))
+    ref = oracle.dct1(x)
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+@pytest.mark.parametrize("n", DST1_N)
+def test_dst1_matches_oracle(n):
+    x = _rng(n).standard_normal((3, n)).astype(np.float32)
+    got = np.asarray(d.dst1(jnp.asarray(x)))
+    ref = oracle.dst1(x)
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+@pytest.mark.parametrize("n", Q_N)
+@pytest.mark.parametrize("name", ["dct2", "dct3", "dst2", "dst3"])
+def test_quarterwave_matches_oracle(n, name):
+    x = _rng(n).standard_normal((2, n)).astype(np.float32)
+    got = np.asarray(getattr(d, name)(jnp.asarray(x)))
+    ref = getattr(oracle, name)(x)
+    assert np.abs(got - ref).max() < 2e-4 * max(1.0, np.abs(ref).max()), name
+
+
+def test_inverse_pairs():
+    n = 96
+    x = _rng(1).standard_normal(n).astype(np.float32)
+    xj = jnp.asarray(x)
+    np.testing.assert_allclose(np.asarray(d.dct3(d.dct2(xj))) / (2 * n), x, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.dst3(d.dst2(xj))) / (2 * n), x, atol=1e-4)
+
+
+def test_involutions():
+    x = _rng(2).standard_normal(65).astype(np.float32)  # 2(N-1)=128 smooth
+    xj = jnp.asarray(x)
+    np.testing.assert_allclose(np.asarray(d.dct1(d.dct1(xj))) / (2 * 64), x, atol=1e-4)
+    y = _rng(3).standard_normal(63).astype(np.float32)  # 2(N+1)=128 smooth
+    yj = jnp.asarray(y)
+    np.testing.assert_allclose(np.asarray(d.dst1(d.dst1(yj))) / (2 * 64), y, atol=1e-4)
+
+
+def test_fftpack_names():
+    assert d.cost is d.dct1 and d.sint is d.dst1
+    assert d.cosqb is d.dct2 and d.cosqf is d.dct3
+    assert d.sinqb is d.dst2 and d.sinqf is d.dst3
+
+
+def test_odd_n_rejected_for_quarterwave():
+    x = jnp.zeros(15)
+    with pytest.raises(ValueError):
+        d.dct2(x)
+    with pytest.raises(ValueError):
+        d.dct3(x)
