@@ -102,21 +102,25 @@ def bench_op(
 
 
 def measure_peak_bw(nbytes: int = 512 << 20) -> float:
-    """Peak sustainable HBM bandwidth (bytes/s).
+    """Effective peak memory bandwidth (bytes/s) of the current backend.
 
-    Probe: a chained tall-skinny matmul ``y = y @ W`` with W [128, 128]
-    bf16-precision — ~32 flops/byte, far below the MXU ridge, so it is
-    bandwidth-bound; being a dot (not elementwise) it cannot be
-    cross-iteration fused, and the barrier in bench_op separates
-    iterations.  Counted bytes: one read + one write of y per iteration.
+    Probe: ``v -> v*c + mean(v)`` chained with barriers — every element of
+    iteration k+1 depends on ALL of iteration k, so iterations cannot be
+    fused or row-pipelined.  Counted as ONE read + ONE write per iteration
+    (the minimum truthful traffic), which makes this the most generous
+    baseline and the derived speed-of-light fractions conservative.
+
+    Note (measured, see CLAUDE.md): this backend reports memory speeds
+    well above the physical HBM spec of the advertised chip; treat the
+    returned value as the backend's effective optimum for *relative*
+    comparisons, not as hardware ground truth.
     """
 
-    rows = max(1, nbytes // (2 * 128 * 4))
-    y = jnp.ones((rows, 128), jnp.float32)
-    w = jnp.asarray(np.eye(128, dtype=np.float32) * 0.999)
+    n = max(1024, nbytes // 4)
+    y = jnp.ones((n,), jnp.float32)
 
-    def probe(v, w_):
-        return jnp.dot(v, w_, precision=jax.lax.Precision.DEFAULT), w_
+    def probe(v):
+        return (v * 0.999 + jnp.mean(v),)
 
-    t = bench_op(probe, (y, w))
-    return 2 * rows * 128 * 4 / t
+    t = bench_op(probe, (y,))
+    return 2 * n * 4 / t

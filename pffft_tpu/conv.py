@@ -38,7 +38,7 @@ import numpy as np
 from . import fft as _fft
 from . import plan as _plan
 
-__all__ = ["ConvFlags", "FastConv", "new_setup", "apply", "fastconv_valid"]
+__all__ = ["ConvFlags", "FastConv", "StreamingConv", "new_setup", "apply", "fastconv_valid"]
 
 
 class ConvFlags(enum.IntFlag):
@@ -342,3 +342,60 @@ def fastconv_valid(x: jax.Array, h, flags: ConvFlags = ConvFlags.NONE) -> jax.Ar
 
     setup = FastConv(h, flags=flags)
     return setup.apply_batched(jnp.asarray(x), flush=True)
+
+
+class StreamingConv:
+    """Host-native streaming FIR: ring-buffer framer + device FFT pipeline.
+
+    The full streaming composition of the reference's pffastconv usage
+    pattern: push arbitrary-size chunks (a soundcard/SDR callback), pop
+    filtered output; the C++ framer (pffft_tpu.runtime.StreamFramer)
+    carries the overlap-save tail and cuts fixed-shape [k, Nfft] batches so
+    the device never recompiles.  Real streams only (the common case).
+
+    >>> sc = StreamingConv(h)
+    >>> for chunk in chunks: out.append(sc.push(chunk))
+    >>> out.append(sc.flush())
+    """
+
+    def __init__(self, filter_coeffs, block_len: int = 0, correlation: bool = False,
+                 dtype="float32"):
+        flags = ConvFlags.CORRELATION if correlation else ConvFlags.NONE
+        self.setup = FastConv(filter_coeffs, block_len=block_len, flags=flags, dtype=dtype)
+        from . import runtime as _runtime
+
+        self._framer = _runtime.StreamFramer(
+            frame_len=self.setup.nfft, hop=self.setup.num_out_per_block
+        )
+
+    @property
+    def native(self) -> bool:
+        """Whether the C++ ring buffer is active (Python fallback else)."""
+
+        return self._framer.native
+
+    def _run(self, frames: np.ndarray) -> np.ndarray:
+        s = self.setup
+        y = s._jitted_pipeline(frames.shape[0])(jnp.asarray(frames))
+        return np.asarray(y[:, : s.num_out_per_block]).reshape(-1)
+
+    def push(self, chunk) -> np.ndarray:
+        """Feed samples; returns whatever filtered output became ready
+        (possibly empty).  Output is the valid-mode convolution stream."""
+
+        self._framer.push(np.asarray(chunk, dtype=np.float32))
+        frames = self._framer.frames()
+        if frames.shape[0] == 0:
+            return np.empty(0, dtype=self.setup.dtype)
+        return self._run(frames)
+
+    def flush(self) -> np.ndarray:
+        """Drain the tail (zero-padded), like pffastconv's applyFlush."""
+
+        pending = self._framer.pending()
+        frames = self._framer.flush()
+        if frames.shape[0] == 0:
+            return np.empty(0, dtype=self.setup.dtype)
+        y = self._run(frames)
+        valid = max(0, pending - self.setup.filter_len + 1)
+        return y[:valid]

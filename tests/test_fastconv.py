@@ -171,3 +171,26 @@ def test_new_setup_apply_parity_names():
     y, consumed = pfc.apply(s, jnp.asarray(x), flush=True)
     ref = np.convolve(x.astype(np.float64), h.astype(np.float64), "valid")
     np.testing.assert_allclose(np.asarray(y), ref[:consumed], atol=2e-4)
+
+
+def test_streaming_conv_class():
+    """StreamingConv (framer + device pipeline) == np.convolve valid."""
+
+    import numpy as np
+    from pffft_tpu.conv import StreamingConv
+
+    rng = np.random.default_rng(0)
+    h = rng.standard_normal(65).astype(np.float32)
+    x = rng.standard_normal(10_000).astype(np.float32)
+    sc = StreamingConv(h)
+    outs = []
+    pos = 0
+    while pos < x.size:
+        step = int(rng.integers(100, 900))
+        outs.append(sc.push(x[pos : pos + step]))
+        pos += step
+    outs.append(sc.flush())
+    got = np.concatenate(outs)
+    ref = np.convolve(x.astype(np.float64), h.astype(np.float64), "valid")
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
