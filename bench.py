@@ -47,13 +47,18 @@ def main():
     re = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
     im = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
 
+    # HBM roofline baseline: the TPU v5e spec bandwidth.  A fixed constant
+    # (not a measured probe) so vs_baseline is comparable across rounds —
+    # this backend's memory-probe timings vary several-fold run to run
+    # (see CLAUDE.md).  The measured probe is still reported as info.
+    SPEC_BW_V5E = 819e9
     peak_bw = measure_peak_bw(128 << 20 if quick else 512 << 20)
 
     fft = lambda r, i: pf.fft.transform_ordered_split(plan, (r, i), pf.FORWARD)
     t_fft = bench_op(fft, (re, im), k1=2 if quick else 4, k2=10 if quick else 20)
 
     bytes_min = 4 * batch * n * 4  # 2 planes in + 2 planes out, f32
-    sol_time = bytes_min / peak_bw
+    sol_time = bytes_min / SPEC_BW_V5E
     flops = 5.0 * batch * n * math.log2(n)
     gflops = flops / t_fft / 1e9
 
@@ -73,8 +78,8 @@ def main():
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(sol_time / t_fft, 4),
-                "speed_of_light_note": "vs_baseline = fraction of HBM roofline (1.0 = one read+write at measured peak BW)",
-                "measured_peak_bw_GBps": round(peak_bw / 1e9, 1),
+                "speed_of_light_note": "vs_baseline = fraction of the TPU v5e spec HBM roofline (819 GB/s): 1.0 = one read+write of the operands at spec bandwidth",
+                "measured_probe_bw_GBps": round(peak_bw / 1e9, 1),
                 "ns_per_transform": round(t_fft / batch * 1e9, 1),
                 "plan_factors": list(plan.factors),
                 "max_rel_err_vs_numpy": err,
