@@ -51,6 +51,8 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        if os.environ.get("PFFFT_TPU_NO_NATIVE"):
+            return None  # CI axis: force the pure-Python fallbacks
         if not os.path.exists(_SO) and not _build():
             return None
         try:
