@@ -50,7 +50,7 @@ __all__ = ["dct1", "dst1", "dct2", "dct3", "dst2", "dst3",
 
 def _cfft_split(re, im, n, dtype, backward=False):
     p = _plan.Plan.create(n, _plan.COMPLEX, np.dtype(dtype).name, strict=False)
-    return _split.cfft_stages_split(re, im, p.stages, backward=backward, ordered=True)
+    return _split.cfft_plan_split(p, re, im, backward=backward, ordered=True)
 
 
 @functools.lru_cache(maxsize=256)

@@ -64,12 +64,12 @@ __all__ = [
 
 def _complex_transform(p: Plan, x: jax.Array, backward: bool, ordered: bool) -> jax.Array:
     x = x.astype(p.cdtype.type)
-    return _stages.cfft_stages(x, p.stages, backward=backward, ordered=ordered)
+    return _stages.cfft_plan(x, p, backward=backward, ordered=ordered)
 
 
 def _real_forward_planar(p: Plan, x: jax.Array) -> "tuple[jax.Array, jax.Array]":
     zr, zi = _split.pack_real_input_split(x.astype(p.dtype.type))
-    zr, zi = _split.cfft_stages_split(zr, zi, p.stages, backward=False, ordered=True)
+    zr, zi = _split.cfft_plan_split(p, zr, zi, backward=False, ordered=True)
     return _split.real_forward_split_planar(zr, zi, p.real_twiddle)
 
 
@@ -77,7 +77,7 @@ def _real_backward_planar(p: Plan, sr: jax.Array, si: jax.Array) -> jax.Array:
     zr, zi = _split.real_backward_split_planar(
         sr.astype(p.dtype.type), si.astype(p.dtype.type), p.real_twiddle
     )
-    wr, wi = _split.cfft_stages_split(zr, zi, p.stages, backward=True, ordered=True)
+    wr, wi = _split.cfft_plan_split(p, zr, zi, backward=True, ordered=True)
     return _split.interleave_to_real_split(wr, wi).astype(p.dtype.type)
 
 
@@ -273,11 +273,11 @@ def _jitted_split(plan: Plan, backward: bool, ordered: bool):
         def fn(re, im):
             re = _stages.reorder_spectrum(re, plan.factors, to_canonical=True)
             im = _stages.reorder_spectrum(im, plan.factors, to_canonical=True)
-            return _split.cfft_stages_split(re, im, plan.stages, backward=True, ordered=True)
+            return _split.cfft_plan_split(plan, re, im, backward=True, ordered=True)
     else:
         def fn(re, im):
-            return _split.cfft_stages_split(
-                re, im, plan.stages, backward=backward, ordered=ordered
+            return _split.cfft_plan_split(
+                plan, re, im, backward=backward, ordered=ordered
             )
     return jax.jit(fn)
 

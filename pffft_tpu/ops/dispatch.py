@@ -89,8 +89,6 @@ def cfft_dispatch(
     if engine == "pallas":
         return _pk.cfft_pallas_tmajor(plan, re, im, backward=backward)
     if time_major:
-        rr, ii = _split.cfft_stages_split(
-            re.T, im.T, plan.stages, backward=backward, ordered=True
-        )
+        rr, ii = _split.cfft_plan_split(plan, re.T, im.T, backward=backward, ordered=True)
         return rr.T, ii.T
-    return _split.cfft_stages_split(re, im, plan.stages, backward=backward, ordered=True)
+    return _split.cfft_plan_split(plan, re, im, backward=backward, ordered=True)

@@ -160,7 +160,11 @@ def _make_kernel(n: int, stages: Sequence, backward: bool):
 def supported(plan: _plan.Plan) -> bool:
     """Whether the fused kernel covers this plan (complex engine factors)."""
 
-    return all(st.r in (1, 2, 3, 4, 5) for st in plan.stages)
+    return (
+        plan.local_split is None
+        and len(plan.stages) > 0
+        and all(st.r in (1, 2, 3, 4, 5) for st in plan.stages)
+    )
 
 
 @functools.lru_cache(maxsize=256)

@@ -126,6 +126,75 @@ def cfft_stages_split(
     return ar.reshape(*lead, n), ai.reshape(*lead, n)
 
 
+@functools.lru_cache(maxsize=256)
+def _split_tw_consts(key, backward: bool):
+    tw = key.a
+    if backward:
+        tw = np.conj(tw)
+    return np.ascontiguousarray(tw.real), np.ascontiguousarray(tw.imag)
+
+
+def cfft_plan_split(
+    plan,
+    re: jax.Array,
+    im: jax.Array,
+    *,
+    backward: bool,
+    ordered: bool,
+) -> SplitPair:
+    """Plan-level complex FFT over the last axis, planar format.
+
+    Dispatches between the stage-chain engine and the plan's local
+    four-step split (plan.local_split): N = N1*N2 as two sub-FFT phases
+    around on-chip transposes — the single-chip miniature of
+    parallel/fourstep.py, chosen on TPU for engine_n beyond two fat stages
+    (measured ~2x at N=65536).  Layout contract matches the 2-stage chain
+    with factors (N1, N2): ordered = canonical bins, internal = k1-major.
+    """
+
+    if plan.local_split is None:
+        return cfft_stages_split(re, im, plan.stages, backward=backward, ordered=ordered)
+
+    p1, p2, tw = plan.local_split
+    n1, n2 = plan.factors
+    lead = re.shape[:-1]
+    twr_np, twi_np = _split_tw_consts(_HashableArray(tw), backward)
+    twr = jnp.asarray(twr_np, dtype=re.dtype)
+    twi = jnp.asarray(twi_np, dtype=re.dtype)
+
+    def fft_axis2(ar, ai, sub, bwd):
+        # FFT along axis -2 via transpose (on-chip relayout, XLA-fused)
+        ar = jnp.swapaxes(ar, -1, -2)
+        ai = jnp.swapaxes(ai, -1, -2)
+        ar, ai = cfft_plan_split(sub, ar, ai, backward=bwd, ordered=True)
+        return jnp.swapaxes(ar, -1, -2), jnp.swapaxes(ai, -1, -2)
+
+    if not backward:
+        ar = re.reshape(*lead, n1, n2)
+        ai = im.reshape(*lead, n1, n2)
+        ar, ai = fft_axis2(ar, ai, p1, False)      # column FFTs over n1
+        ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+        ar, ai = cfft_plan_split(p2, ar, ai, backward=False, ordered=True)  # rows
+        if ordered:                                 # Y[k1,k2] -> k = k1 + n1*k2
+            ar = jnp.swapaxes(ar, -1, -2)
+            ai = jnp.swapaxes(ai, -1, -2)
+        return ar.reshape(*lead, plan.engine_n), ai.reshape(*lead, plan.engine_n)
+
+    # backward: exact mirror
+    if ordered:
+        ar = re.reshape(*lead, n2, n1)
+        ai = im.reshape(*lead, n2, n1)
+        ar = jnp.swapaxes(ar, -1, -2)
+        ai = jnp.swapaxes(ai, -1, -2)
+    else:
+        ar = re.reshape(*lead, n1, n2)
+        ai = im.reshape(*lead, n1, n2)
+    ar, ai = cfft_plan_split(p2, ar, ai, backward=True, ordered=True)  # rows
+    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr  # conj(tw) folded in consts
+    ar, ai = fft_axis2(ar, ai, p1, True)                # column IFFTs
+    return ar.reshape(*lead, plan.engine_n), ai.reshape(*lead, plan.engine_n)
+
+
 # ---------------------------------------------------------------------------
 # Real transform split steps (planar mirror of ops/real.py)
 # ---------------------------------------------------------------------------

@@ -57,6 +57,16 @@ def cfft_stages(x: jax.Array, stages: Sequence, *, backward: bool, ordered: bool
     return _split.from_split((rr, ri), x.dtype)
 
 
+def cfft_plan(x: jax.Array, plan, *, backward: bool, ordered: bool) -> jax.Array:
+    """Plan-level complex wrapper (handles the local four-step split)."""
+
+    from . import split as _split
+
+    re, im = _split.to_split(x)
+    rr, ri = _split.cfft_plan_split(plan, re, im, backward=backward, ordered=ordered)
+    return _split.from_split((rr, ri), x.dtype)
+
+
 def internal_order_shape(factors: Tuple[int, ...]) -> Tuple[int, int]:
     """(L, r) view of the internal layout: internal.reshape(L, r).T.flatten()
     is canonical order.  L = product of all factors but the last, r = last."""

@@ -94,13 +94,13 @@ def _twiddle_np(n1: int, n2: int, cdtype) -> np.ndarray:
     return (np.cos(ang) - 1j * np.sin(ang)).astype(cdtype)
 
 
-def _fft_axis(a: jax.Array, stages, backward: bool, axis: int) -> jax.Array:
-    """cfft_stages along ``axis`` (the engine works on the last axis)."""
+def _fft_axis(a: jax.Array, sub_plan, backward: bool, axis: int) -> jax.Array:
+    """Plan-level complex FFT along ``axis`` (engine works on the last axis)."""
 
     if axis in (-1, a.ndim - 1):
-        return _stages.cfft_stages(a, stages, backward=backward, ordered=True)
+        return _stages.cfft_plan(a, sub_plan, backward=backward, ordered=True)
     a = jnp.swapaxes(a, axis, -1)
-    a = _stages.cfft_stages(a, stages, backward=backward, ordered=True)
+    a = _stages.cfft_plan(a, sub_plan, backward=backward, ordered=True)
     return jnp.swapaxes(a, axis, -1)
 
 
@@ -158,10 +158,10 @@ class FourStepPlan:
         lead = xl.shape[:-1]
         x2l = xl.reshape(*lead, self.n1 // self.n_shards, self.n2)
         a = self._a2a(x2l, -1, -2)                      # [.., N1, N2/D]
-        a = _fft_axis(a, self.plan1.stages, False, -2)  # column FFTs (local)
+        a = _fft_axis(a, self.plan1, False, -2)  # column FFTs (local)
         a = a * twl                                     # W_N^{k1*n2}
         a = self._a2a(a, -2, -1)                        # [.., N1/D, N2]
-        y = _fft_axis(a, self.plan2.stages, False, -1)  # row FFTs (local)
+        y = _fft_axis(a, self.plan2, False, -1)  # row FFTs (local)
         if ordered:
             y = self._a2a(y, -1, -2)                    # [.., N1, N2/D]
             y = jnp.swapaxes(y, -1, -2)                 # [.., N2/D, N1]
@@ -175,10 +175,10 @@ class FourStepPlan:
             y = self._a2a(y, -2, -1)                    # [.., N1/D, N2]
         else:
             y = sl.reshape(*lead, self.n1 // self.n_shards, self.n2)
-        a = _fft_axis(y, self.plan2.stages, True, -1)   # row IFFTs (local)
+        a = _fft_axis(y, self.plan2, True, -1)   # row IFFTs (local)
         a = self._a2a(a, -1, -2)                        # [.., N1, N2/D]
         a = a * jnp.conj(twl)
-        a = _fft_axis(a, self.plan1.stages, True, -2)   # column IFFTs (local)
+        a = _fft_axis(a, self.plan1, True, -2)   # column IFFTs (local)
         x2 = self._a2a(a, -2, -1)                       # [.., N1/D, N2]
         return x2.reshape(*lead, -1)
 

@@ -220,30 +220,57 @@ def decompose_smooth(n: int) -> Tuple[int, ...]:
 
 
 def default_max_factor() -> int:
-    """Backend-dependent stage-size policy (measured, carrier-injection
-    dynamic range at N=4096 / throughput at N=4096 B=2048 on TPU v5e):
+    """Backend-dependent stage-size policy (measured on TPU v5e; all TPU
+    rows meet the reference's 140 dB carrier-test bound with margin):
 
-        backend  max_factor  factors    dynrange   throughput
-        TPU      64          (64, 64)   153.0 dB   1826 GF/s (0.49 of HBM SoL)
-        TPU      5           (4,)*6     148.7 dB    107 GF/s (0.03)
-        CPU      64          (64, 64)   126.7 dB   (fails the 140 dB bound)
-        CPU      5           (4,)*6     148.7 dB   meets the bound
+        backend  max_factor  N=4096 factors  dynrange   throughput
+        TPU      128         (64, 64)        153.0 dB   1826 GF/s
+        TPU      128         (128,128)@16k   153.0 dB    845 GF/s (vs 381 @ mf=64)
+        TPU      5           (4,)*6          148.7 dB    107 GF/s
+        CPU      64+         dense           126.7 dB   (fails the 140 dB bound)
+        CPU      5           (4,)*6          148.7 dB   meets the bound
 
     On the MXU, jax.lax.Precision.HIGHEST multiplies via six bf16 passes
-    whose products are exact in f32, so two dense 64-point stages round
-    *less* than six radix-4 stages -- dense-fat stages win BOTH accuracy
-    and speed on TPU.  On CPU (true f32 FMA) the 64-term dot accumulates
-    ~sqrt(64)*eps and loses the reference's 140 dB bound
-    (tests/test_pffft.c:52-61), so small radices stay the default there,
-    mirroring the reference's radix-4 preference (pffft_priv_impl.h:904).
+    whose products are exact in f32, so two dense stages round *less* than
+    six chained radix-4 stages -- fat stages win BOTH accuracy and speed
+    on TPU.  On CPU (true f32 FMA) a 64-term dot accumulates ~sqrt(64)*eps
+    and loses the reference's 140 dB bound (tests/test_pffft.c:52-61), so
+    small radices stay the default there, mirroring the reference's
+    radix-4 preference (pffft_priv_impl.h:904).
+
+    Beyond two stages (engine_n > max_factor^2) TPU plans switch to a
+    local four-step split (see Plan.local_split): measured 910 GF/s vs 468
+    at N=65536.
     """
 
     try:
         import jax
 
-        return 64 if jax.default_backend() == "tpu" else 5
+        return 128 if jax.default_backend() == "tpu" else 5
     except Exception:  # pragma: no cover
         return 5
+
+
+# local four-step activates only for the fat-stage (TPU) policy and while
+# the [N1, N2] twiddle table stays a sane size (planar f32 on device).
+_LOCAL_SPLIT_MIN_MF = 32
+_LOCAL_SPLIT_MAX_N = 1 << 24
+
+
+def _balanced_split(n: int) -> Tuple[int, int]:
+    """n = n1 * n2, both 2/3/5-smooth, as balanced as possible."""
+
+    fs = decompose_smooth(n)
+    divs = {1}
+    for p in fs:
+        divs |= {d * p for d in divs}
+    best = None
+    for d in sorted(divs):
+        score = abs(math.log(d) - math.log(n // d))
+        if best is None or score < best[0]:
+            best = (score, d)
+    n1 = best[1]
+    return max(n1, n // n1), min(n1, n // n1)
 
 
 def plan_factors(n: int, max_factor: int = 5) -> Tuple[int, ...]:
@@ -400,6 +427,12 @@ class Plan:
     factors: Tuple[int, ...]
     stages: Tuple[StageTables, ...]
     real_twiddle: Optional[np.ndarray]  # [N/2] for REAL kind else None
+    # local four-step split for large engine_n under the fat-stage policy:
+    # (sub_plan_n1, sub_plan_n2, twiddle [n1, n2] complex np).  The two FFT
+    # phases run through the sub-plans; the on-chip transposes replace a
+    # long stage chain (measured ~2x at N=65536).  factors == (n1, n2) so
+    # the internal/ordered layout contract is the ordinary 2-stage one.
+    local_split: Optional[Tuple["Plan", "Plan", np.ndarray]] = None
 
     # --- constructors -----------------------------------------------------
 
@@ -414,6 +447,29 @@ class Plan:
         else:
             raise ValueError(f"unsupported dtype {dtype}; use float32 or float64")
         engine_n = n // 2 if kind == REAL else n
+        real_tw = _real_split_twiddle(n, -1, cdtype) if kind == REAL else None
+
+        if (
+            max_factor >= _LOCAL_SPLIT_MIN_MF
+            and engine_n > max_factor * max_factor
+            and engine_n <= _LOCAL_SPLIT_MAX_N
+        ):
+            n1, n2 = _balanced_split(engine_n)
+            p1 = Plan._cached(n1, COMPLEX, dtype_str, max_factor)
+            p2 = Plan._cached(n2, COMPLEX, dtype_str, max_factor)
+            tw = _stage_twiddle(n1, n2, -1, cdtype)  # W_N^{k1*n2}, [n1, n2]
+            return Plan(
+                n=n,
+                kind=kind,
+                dtype=dtype,
+                cdtype=cdtype,
+                engine_n=engine_n,
+                factors=(n1, n2),
+                stages=(),
+                real_twiddle=real_tw,
+                local_split=(p1, p2, tw),
+            )
+
         factors = plan_factors(engine_n, max_factor=max_factor)
         stages = []
         l = 1
@@ -430,7 +486,6 @@ class Plan:
                 )
             )
             l *= r
-        real_tw = _real_split_twiddle(n, -1, cdtype) if kind == REAL else None
         return Plan(
             n=n,
             kind=kind,

@@ -154,3 +154,51 @@ def test_batch_shapes(n, cplx):
     y0 = pf.transform_ordered(plan, jnp.asarray(x[0, 0]))
     tol = 1e-5 * float(np.max(np.abs(np.asarray(y0))))
     np.testing.assert_allclose(np.asarray(y[0, 0]), np.asarray(y0), rtol=0, atol=tol)
+
+
+def test_local_fourstep_split_path():
+    """The local four-step split (fat-stage policy, large N) must match the
+    stage-chain engine and numpy, both directions and both layouts."""
+
+    import jax.numpy as jnp
+    import pffft_tpu as pf
+    from pffft_tpu.ops import split as sp
+
+    n = 65536  # > 128^2 triggers local_split at max_factor=128
+    plan = pf.new_setup(n, pf.COMPLEX, max_factor=128)
+    assert plan.local_split is not None and plan.factors == (256, 256)
+    r = np.random.default_rng(0)
+    re = jnp.asarray(r.standard_normal(n).astype(np.float32))
+    im = jnp.asarray(r.standard_normal(n).astype(np.float32))
+    fr, fi = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+    ref = np.fft.fft(np.asarray(re).astype(np.float64) + 1j * np.asarray(im).astype(np.float64))
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    assert np.abs(got - ref).max() < 1e-3 * np.abs(ref).max()
+    # internal layout + zreorder contract
+    ir_, ii_ = sp.cfft_plan_split(plan, re, im, backward=False, ordered=False)
+    from pffft_tpu.ops import stages as st
+    rr = st.reorder_spectrum(ir_, plan.factors, to_canonical=True)
+    assert np.abs(np.asarray(rr) - np.asarray(fr)).max() < 2e-2
+    # unscaled roundtrip
+    br, bi = sp.cfft_plan_split(plan, fr, fi, backward=True, ordered=True)
+    assert np.abs(np.asarray(br) / n - np.asarray(re)).max() < 1e-3
+    assert np.abs(np.asarray(bi) / n - np.asarray(im)).max() < 1e-3
+
+
+def test_local_fourstep_real_transform():
+    import jax.numpy as jnp
+    import pffft_tpu as pf
+
+    n = 1 << 16
+    plan = pf.new_setup(n, pf.REAL, max_factor=128)
+    assert plan.local_split is not None
+    r = np.random.default_rng(1)
+    x = r.standard_normal(n).astype(np.float32)
+    sr, si = pf.transform_ordered_split(plan, jnp.asarray(x))
+    ref = np.fft.rfft(x.astype(np.float64))
+    got = np.asarray(sr) + 1j * np.asarray(si)
+    packed = ref[:-1].copy()
+    packed[0] = ref[0].real + 1j * ref[-1].real
+    assert np.abs(got - packed).max() < 1e-3 * np.abs(ref).max()
+    back = pf.transform_ordered_split(plan, (sr, si), pf.BACKWARD)
+    assert np.abs(np.asarray(back) / n - x).max() < 1e-3
