@@ -243,6 +243,11 @@ def default_max_factor() -> int:
     at N=65536.
     """
 
+    import os
+
+    env = os.environ.get("PFFFT_TPU_MAX_FACTOR")
+    if env:
+        return int(env)
     try:
         import jax
 
