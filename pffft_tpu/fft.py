@@ -25,14 +25,11 @@ Transforms are unscaled: backward(forward(x)) == N * x (pffft.h:134).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import plan as _plan
-from .ops import real as _real
 from .ops import split as _split
 from .ops import stages as _stages
 

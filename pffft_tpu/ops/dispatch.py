@@ -19,7 +19,7 @@ default everywhere; the registry exists so future kernels (and users, via
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import stages as _stages
 
 
 def pack_real_input(x: jax.Array, cdtype) -> jax.Array:

@@ -22,7 +22,6 @@ Conventions match FFTPACK:
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 

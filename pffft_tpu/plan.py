@@ -28,7 +28,7 @@ import dataclasses
 import enum
 import functools
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ Type mapping (pffft.hpp Types<T>, :52-95):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
