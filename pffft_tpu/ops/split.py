@@ -230,11 +230,14 @@ def _split_real_tw(real_twiddle: np.ndarray):
 
 
 def _reverse_conj_split(zr: jax.Array, zi: jax.Array) -> SplitPair:
-    """y[k] = conj(z[(H - k) mod H]) along the last axis."""
+    """y[k] = conj(z[(H - k) mod H]) along the last axis.
+
+    roll(flip(z), 1) == [z0, z_{H-1}, .., z1], built from slices+concat.
+    """
 
     return (
-        jnp.roll(zr[..., ::-1], 1, axis=-1),
-        -jnp.roll(zi[..., ::-1], 1, axis=-1),
+        jnp.concatenate([zr[..., 0:1], zr[..., :0:-1]], axis=-1),
+        -jnp.concatenate([zi[..., 0:1], zi[..., :0:-1]], axis=-1),
     )
 
 
@@ -245,6 +248,12 @@ def pack_real_input_split(x: jax.Array) -> SplitPair:
     n = x.shape[-1]
     xz = x.reshape(*lead, n // 2, 2)
     return xz[..., 0], xz[..., 1]
+
+
+def _set_bin0(x: jax.Array, v: jax.Array) -> jax.Array:
+    """x.at[..., 0].set(v) as a slice+concat (scatters serialize on TPU)."""
+
+    return jnp.concatenate([v[..., None], x[..., 1:]], axis=-1)
 
 
 def real_forward_split_planar(zr, zi, real_twiddle: np.ndarray) -> SplitPair:
@@ -261,9 +270,7 @@ def real_forward_split_planar(zr, zi, real_twiddle: np.ndarray) -> SplitPair:
     xi = ei + wr * oi + wi * orr
     dc = zr[..., 0] + zi[..., 0]
     nyq = zr[..., 0] - zi[..., 0]
-    xr = xr.at[..., 0].set(dc)
-    xi = xi.at[..., 0].set(nyq)
-    return xr, xi
+    return _set_bin0(xr, dc), _set_bin0(xi, nyq)
 
 
 def real_backward_split_planar(sr, si, real_twiddle: np.ndarray) -> SplitPair:
@@ -271,12 +278,12 @@ def real_backward_split_planar(sr, si, real_twiddle: np.ndarray) -> SplitPair:
 
     dc = sr[..., 0]
     nyq = si[..., 0]
-    xar = sr.at[..., 0].set(dc)
-    xai = si.at[..., 0].set(jnp.zeros_like(nyq))
-    xbr = jnp.roll(xar[..., ::-1], 1, axis=-1)
-    xbi = jnp.roll(xai[..., ::-1], 1, axis=-1)
-    xbr = xbr.at[..., 0].set(nyq)
-    xbi = xbi.at[..., 0].set(jnp.zeros_like(nyq))
+    zero = jnp.zeros_like(nyq)
+    xar = sr  # Re xa[0] == dc already
+    xai = _set_bin0(si, zero)
+    # xb = roll(flip(xa), 1) with xb[0] overridden: build by concat directly
+    xbr = jnp.concatenate([nyq[..., None], xar[..., :0:-1]], axis=-1)
+    xbi = jnp.concatenate([zero[..., None], xai[..., :0:-1]], axis=-1)
     # xbc = conj(xb)
     er, ei = xar + xbr, xai - xbi
     dr, di = xar - xbr, xai + xbi
