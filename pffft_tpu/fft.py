@@ -316,8 +316,8 @@ def zconvolve_split(plan: Plan, a, b, scaling=1.0, accumulate=None):
     br, bi = b
     cr, ci = _split.split_mul((ar, ai), (br, bi))
     if plan.is_real:
-        cr = cr.at[..., 0].set(ar[..., 0] * br[..., 0])
-        ci = ci.at[..., 0].set(ai[..., 0] * bi[..., 0])
+        cr = _split._set_bin0(cr, ar[..., 0] * br[..., 0])
+        ci = _split._set_bin0(ci, ai[..., 0] * bi[..., 0])
     s = jnp.asarray(scaling, dtype=plan.dtype.type)
     cr, ci = cr * s, ci * s
     if accumulate is not None:
