@@ -191,12 +191,16 @@ def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool):
             jax.ShapeDtypeStruct((n, b), jnp.float32),
         ]
         flops = int(8 * n * math.log2(max(n, 2)) * b)
+        ntw = len(tw_inputs)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[*tw_specs, data_spec, data_spec],
             out_specs=[data_spec, data_spec],
             out_shape=out_shape,
+            # in-place: halves the HBM footprint and the VMEM I/O staging
+            # (without it N=4096 TB=128 exceeds the 16 MB scoped limit)
+            input_output_aliases={ntw: 0, ntw + 1: 1},
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=flops, bytes_accessed=4 * 4 * n * b, transcendentals=0
