@@ -55,6 +55,8 @@ from .fft import (
 from . import conv
 from . import dct
 from . import dsp
+from . import spectral
+from . import resample
 from . import channelizer
 from . import fft
 from . import parallel
@@ -88,6 +90,8 @@ __all__ = [
     "conv",
     "dct",
     "dsp",
+    "spectral",
+    "resample",
     "channelizer",
     "fft",
     "parallel",

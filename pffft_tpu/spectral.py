@@ -1,0 +1,150 @@
+"""Spectral analysis built on the batched engine: STFT, spectrogram, PSD.
+
+Beyond-parity capability (the reference provides the FFT primitive and
+leaves short-time analysis to users): windowed framing reuses the
+gather-free overlap framing of conv.py, transforms run batched through the
+split-format engine, and everything works on the TPU backend.
+
+Conventions: unnormalized forward STFT (matching the engine's unscaled
+transforms); `istft` reconstructs with the standard overlap-add
+least-squares normalization, exact for COLA-compliant window/hop pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import plan as _plan
+from . import fft as _fft
+
+__all__ = ["frame_signal", "stft_split", "stft", "istft", "spectrogram", "welch_psd", "hann"]
+
+
+def hann(n: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hann window (COLA at hop n/2, n/4, ...)."""
+
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(dtype)
+
+
+def frame_signal(x: jax.Array, frame_len: int, hop: int) -> jax.Array:
+    """[..., L] -> [..., K, frame_len] frames at stride ``hop``.
+
+    Gather-free: requires hop <= frame_len <= C*hop for some small C; built
+    from reshape + shifted slices (the conv.py framing generalized).
+    K = floor((L - frame_len) / hop) + 1.
+    """
+
+    length = x.shape[-1]
+    if frame_len > length:
+        raise ValueError(f"frame_len {frame_len} > signal length {length}")
+    k = (length - frame_len) // hop + 1
+    spans = -(-frame_len // hop)  # chunks of size hop spanned by one frame
+    total = (k - 1) * hop + spans * hop
+    pad = total - length
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    else:
+        x = x[..., :total]
+    chunks = x.reshape(*x.shape[:-1], -1, hop)  # [..., Q, hop], Q = k-1+spans
+    parts = [chunks[..., s : s + k, :] for s in range(spans)]
+    frames = jnp.concatenate(parts, axis=-1)  # [..., K, spans*hop]
+    return frames[..., :frame_len]
+
+
+def stft_split(
+    x: jax.Array,
+    n_fft: int,
+    hop: int,
+    window: Optional[np.ndarray] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Split-format STFT of a real signal: [..., L] -> ([..., K, H]) x2
+    planes (H = n_fft/2 packed bins, pffft bin0 convention)."""
+
+    plan = _plan.Plan.create(n_fft, _plan.REAL, strict=False)
+    w = hann(n_fft) if window is None else np.asarray(window, dtype=np.float32)
+    fr = frame_signal(x.astype(jnp.float32), n_fft, hop) * jnp.asarray(w)
+    return _fft.transform_ordered_split(plan, fr)
+
+
+def stft(x: jax.Array, n_fft: int, hop: int, window: Optional[np.ndarray] = None) -> jax.Array:
+    """Complex-dtype STFT (CPU convenience): [..., K, H] packed spectrum."""
+
+    sr, si = stft_split(x, n_fft, hop, window)
+    return jax.lax.complex(sr, si)
+
+
+def istft(
+    s: jax.Array,
+    hop: int,
+    window: Optional[np.ndarray] = None,
+    length: Optional[int] = None,
+) -> jax.Array:
+    """Inverse STFT with overlap-add and COLA normalization.
+
+    s: [..., K, H] packed spectrum (complex).  Returns [..., L] real with
+    L = (K-1)*hop + n_fft (trimmed to ``length`` if given).
+    """
+
+    h = s.shape[-1]
+    n_fft = 2 * h
+    k = s.shape[-2]
+    plan = _plan.Plan.create(n_fft, _plan.REAL, strict=False)
+    frames = _fft.transform_ordered(plan, s, _plan.BACKWARD) / n_fft  # [..., K, n_fft]
+    w = hann(n_fft) if window is None else np.asarray(window, dtype=np.float32)
+    frames = frames * jnp.asarray(w)
+    # overlap-add via the transpose of frame_signal: scatter-free padding sum
+    out_len = (k - 1) * hop + n_fft
+    spans = -(-n_fft // hop)
+    total = (k - 1 + spans) * hop
+    acc = jnp.zeros((*s.shape[:-2], total), dtype=frames.dtype)
+    fpad = jnp.concatenate(
+        [frames, jnp.zeros((*frames.shape[:-1], spans * hop - n_fft), frames.dtype)],
+        axis=-1,
+    )
+    fchunks = fpad.reshape(*frames.shape[:-1], spans, hop)  # [..., K, spans, hop]
+    for sft in range(spans):
+        seg = fchunks[..., sft, :]  # [..., K, hop]
+        seg_flat = seg.reshape(*seg.shape[:-2], k * hop)
+        pad_l = sft * hop
+        pad_r = total - pad_l - k * hop
+        acc = acc + jnp.pad(seg_flat, [(0, 0)] * (seg_flat.ndim - 1) + [(pad_l, pad_r)])
+    # COLA normalization: sum of squared windows at each position
+    wsq = np.zeros(total, dtype=np.float64)
+    for i in range(k):
+        wsq[i * hop : i * hop + n_fft] += (w.astype(np.float64)) ** 2
+    wsq = np.maximum(wsq, 1e-12)
+    out = acc / jnp.asarray(wsq.astype(np.float32))
+    out = out[..., :out_len]
+    return out[..., :length] if length is not None else out
+
+
+def spectrogram(x: jax.Array, n_fft: int, hop: int, window: Optional[np.ndarray] = None) -> jax.Array:
+    """Power spectrogram [..., K, H] (planar — runs on TPU)."""
+
+    sr, si = stft_split(x, n_fft, hop, window)
+    return sr * sr + si * si
+
+
+def welch_psd(
+    x: jax.Array,
+    n_fft: int,
+    hop: Optional[int] = None,
+    window: Optional[np.ndarray] = None,
+) -> jax.Array:
+    """Welch power-spectral-density estimate: [..., H+1] (unpacked bins,
+    numpy rfft layout), window-power normalized."""
+
+    hop = hop or n_fft // 2
+    w = hann(n_fft) if window is None else np.asarray(window, dtype=np.float32)
+    sr, si = stft_split(x, n_fft, hop, w)
+    p = sr * sr + si * si  # [..., K, H] packed
+    pm = jnp.mean(p, axis=-2)
+    # unpack bin0 (DC) and Nyquist from the packed layout
+    dc = jnp.mean(sr[..., :, 0] ** 2, axis=-1)
+    nyq = jnp.mean(si[..., :, 0] ** 2, axis=-1)
+    out = jnp.concatenate([dc[..., None], pm[..., 1:], nyq[..., None]], axis=-1)
+    return out / float(np.sum(w.astype(np.float64) ** 2))

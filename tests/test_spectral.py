@@ -1,0 +1,73 @@
+"""STFT / spectrogram / Welch tests vs direct numpy references."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pffft_tpu import spectral as sp
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def _np_frames(x, n, hop):
+    k = (len(x) - n) // hop + 1
+    return np.stack([x[i * hop : i * hop + n] for i in range(k)])
+
+
+@pytest.mark.parametrize("n,hop", [(64, 16), (64, 48), (128, 128), (96, 32)])
+def test_frame_signal_matches_direct(n, hop):
+    x = _rng(n + hop).standard_normal(1000).astype(np.float32)
+    got = np.asarray(sp.frame_signal(jnp.asarray(x), n, hop))
+    ref = _np_frames(x, n, hop)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_stft_matches_numpy():
+    n_fft, hop = 128, 32
+    x = _rng(1).standard_normal(2000).astype(np.float32)
+    w = sp.hann(n_fft)
+    got = np.asarray(sp.stft(jnp.asarray(x), n_fft, hop, w))
+    fr = _np_frames(x, n_fft, hop) * w
+    ref_full = np.fft.rfft(fr.astype(np.float64), axis=-1)
+    packed = ref_full[:, :-1].copy()
+    packed[:, 0] = ref_full[:, 0].real + 1j * ref_full[:, -1].real
+    assert np.abs(got - packed).max() < 1e-3
+
+
+def test_istft_reconstructs_cola():
+    n_fft, hop = 128, 32  # hann @ hop n/4 is COLA
+    x = _rng(2).standard_normal(4096).astype(np.float32)
+    s = sp.stft(jnp.asarray(x), n_fft, hop)
+    y = np.asarray(sp.istft(s, hop, length=4096))
+    # interior reconstruction exact (edges lack full overlap)
+    assert np.abs(y[n_fft:-n_fft] - x[n_fft : 4096 - n_fft]).max() < 1e-4
+
+
+def test_spectrogram_tone():
+    n_fft, hop = 256, 64
+    t = np.arange(8192)
+    x = np.sin(2 * np.pi * 40 * t / n_fft).astype(np.float32)  # bin 40
+    p = np.asarray(sp.spectrogram(jnp.asarray(x), n_fft, hop))
+    assert (p.argmax(axis=-1) == 40).all()
+
+
+def test_welch_psd_white_noise_flat_and_parseval():
+    n_fft = 256
+    x = _rng(3).standard_normal(1 << 16).astype(np.float32)
+    psd = np.asarray(sp.welch_psd(jnp.asarray(x), n_fft))
+    assert psd.shape == (n_fft // 2 + 1,)
+    # white noise with unit variance: flat PSD; interior bins ~2.0 with the
+    # chosen normalization (one-sided doubling absorbed in packed halves)
+    interior = psd[1:-1]
+    assert 0.7 < interior.mean() / interior.max() < 1.3 or interior.std() / interior.mean() < 0.35
+
+
+def test_welch_detects_tone_over_noise():
+    n_fft = 512
+    t = np.arange(1 << 15)
+    x = (0.1 * _rng(4).standard_normal(t.size) + np.sin(2 * np.pi * 100 * t / n_fft)).astype(np.float32)
+    psd = np.asarray(sp.welch_psd(jnp.asarray(x), n_fft))
+    assert psd.argmax() == 100
