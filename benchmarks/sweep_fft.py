@@ -89,6 +89,9 @@ def main():
                 im = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
                 step = lambda r, i, p=plan: pf.fft.transform_ordered_split(p, (r, i), pf.FORWARD)
                 t = bench_op(step, (re, im))
+                # unordered (internal layout) variant — the PFFFT-U analog
+                stepu = lambda r, i, p=plan: pf.fft.transform_split(p, (r, i), pf.FORWARD)
+                tu = bench_op(stepu, (re, im))
                 bytes_min = 4 * batch * n * 4
                 mf = 5.0 * n * math.log2(n)
             row = dict(kind=kind, n=n, batch=batch,
@@ -96,14 +99,21 @@ def main():
                        gflops=round(mf * batch / t / 1e9, 1),
                        sol=round((bytes_min / bw) / t, 3),
                        factors=str(plan.factors))
+            if kind == "cplx":
+                row["gflops_unordered"] = round(mf * batch / tu / 1e9, 1)
             rows.append(row)
             print(json.dumps(row), flush=True)
 
     if args.csv:
         import csv
 
+        keys = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
         with open(args.csv, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w = csv.DictWriter(f, fieldnames=keys, restval="")
             w.writeheader()
             w.writerows(rows)
     if args.table:
