@@ -41,7 +41,7 @@ from . import fft as _fft
 from . import plan as _plan
 from .dsp import mixer as _mixer
 
-__all__ = ["Channelizer", "ChannelizerState", "DDCChain", "DDCState", "design_lowpass"]
+__all__ = ["Channelizer", "OversampledChannelizer", "ChannelizerState", "DDCChain", "DDCState", "design_lowpass"]
 
 
 def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming") -> np.ndarray:
@@ -202,6 +202,93 @@ class Channelizer:
 
 
 # ---------------------------------------------------------------------------
+
+
+class OversampledChannelizer:
+    """Oversampled PFB channelizer: per-channel output rate V*fs/M.
+
+    Critically-sampled banks (hop M) alias channel edges; hop H = M/V
+    (V | M) keeps V-times oversampled channels.  Identity produced
+    (verified in tests): for frame k and channel c,
+
+        Y[k, c] = sum_j h[j] * x[k*H - j] * exp(+2i pi c (j - k*H) / M)
+                = the c-th DDC (mix by e^{-2i pi c n / M}, filter by h)
+                  sampled at n = k*H.
+
+    Implementation: V interleaved critically-sampled passes (residue
+    r = k mod V uses frames offset by r*H), each the gather-free PFB of
+    :class:`Channelizer`, plus the static phase table
+    e^{-2i pi c r H / M} applied per residue.
+    """
+
+    def __init__(self, num_channels: int, oversample: int = 2,
+                 taps_per_channel: int = 8, prototype: Optional[np.ndarray] = None,
+                 dtype="float32"):
+        if num_channels % oversample:
+            raise ValueError("oversample must divide num_channels")
+        self.base = Channelizer(num_channels, taps_per_channel, prototype, dtype)
+        self.v = int(oversample)
+        self.hop = num_channels // self.v
+        m = num_channels
+        # phase[r, c] = exp(-2i pi c r H / M)
+        r = np.arange(self.v)[:, None]
+        c = np.arange(m)[None, :]
+        ang = -2.0 * np.pi * (r * self.hop % m) * c / m
+        self.ph_re = jnp.asarray(np.cos(ang).astype(self.base.dtype))
+        self.ph_im = jnp.asarray(np.sin(ang).astype(self.base.dtype))
+
+    @property
+    def m(self) -> int:
+        return self.base.m
+
+    def init_state(self, channels_shape: Tuple[int, ...] = ()) -> ChannelizerState:
+        return self.base.init_state(channels_shape)
+
+    def process_split(self, state: ChannelizerState, x_re, x_im):
+        """Planes [..., L] (L % M == 0) -> ([..., V*L//M, M]) x2, state'.
+
+        Output frame k corresponds to stream time k*H (H = M/V).
+        """
+
+        b = self.base
+        if x_re.shape[-1] % b.m:
+            raise ValueError(f"chunk length must be a multiple of M={b.m}")
+        extr = jnp.concatenate([state.hist_re, x_re.astype(b.dtype)], axis=-1)
+        exti = jnp.concatenate([state.hist_im, x_im.astype(b.dtype)], axis=-1)
+        k_big = x_re.shape[-1] // b.m  # frames per residue
+        full = extr.shape[-1]  # == (P + K) * M
+        subs = []
+        for r in range(self.v):
+            off = r * self.hop
+            # residue r frames sample times k*M + r*H: shift the window
+            # right by `off` and zero-pad back to (P+K)*M (frame K-1's last
+            # needed index is (P+K-1)*M - off' < full - off, so the pad is
+            # never read — it only restores the framing length invariant)
+            if off:
+                pad = [(0, 0)] * (extr.ndim - 1) + [(0, off)]
+                er = jnp.pad(extr[..., off:], pad)
+                ei = jnp.pad(exti[..., off:], pad)
+            else:
+                er, ei = extr, exti
+            vr_, vi_ = b._pfb_split(er, ei, k_big)
+            # residue phase e^{-2i pi c r H / M} (DDC alignment)
+            pr = self.ph_re[r]
+            pi = self.ph_im[r]
+            subs.append((vr_ * pr - vi_ * pi, vr_ * pi + vi_ * pr))
+        # interleave residues: output frame k*V + r = subs[r] frame k
+        yr = jnp.stack([s[0] for s in subs], axis=-2)  # [..., K, V, M]
+        yi = jnp.stack([s[1] for s in subs], axis=-2)
+        lead = yr.shape[:-3]
+        yr = yr.reshape(*lead, k_big * self.v, b.m)
+        yi = yi.reshape(*lead, k_big * self.v, b.m)
+        hist = b.p * b.m
+        new_state = ChannelizerState(hist_re=extr[..., -hist:], hist_im=exti[..., -hist:])
+        return (yr, yi), new_state
+
+    def process(self, state: ChannelizerState, x: jax.Array):
+        x = x.astype(self.base.plan.cdtype)
+        (yr, yi), st = self.process_split(state, jnp.real(x), jnp.imag(x))
+        return jax.lax.complex(yr, yi).astype(self.base.plan.cdtype), st
 
 
 class DDCState(NamedTuple):

@@ -133,3 +133,39 @@ def test_process_split_matches_complex():
     np.testing.assert_allclose(np.asarray(yr), np.real(np.asarray(yc)), atol=1e-5)
     np.testing.assert_allclose(np.asarray(yi), np.imag(np.asarray(yc)), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sts.hist_re), np.real(np.asarray(stc.hist_re)), atol=0)
+
+
+def test_oversampled_channelizer_matches_direct():
+    """V-times oversampled PFB == direct DDC decimated by M/V."""
+
+    from pffft_tpu.channelizer import OversampledChannelizer
+
+    m, p, v = 16, 4, 4
+    h = design_lowpass(p * m, 0.5 / m)
+    ch = OversampledChannelizer(m, v, p, prototype=h)
+    r = _rng(31)
+    length = 8 * m
+    x = (r.standard_normal(length) + 1j * r.standard_normal(length)).astype(np.complex64)
+    y, st = ch.process(ch.init_state(), jnp.asarray(x))
+    y = np.asarray(y)
+    hop = m // v
+    assert y.shape == (length // hop, m)
+    for c in range(m):
+        ref = _direct_channel(x, h, m, c)[0:length:hop]
+        assert np.abs(y[: len(ref), c] - ref).max() < 1e-5
+
+    # streaming continuity
+    x2 = (r.standard_normal(length) + 1j * r.standard_normal(length)).astype(np.complex64)
+    y2, _ = ch.process(st, jnp.asarray(x2))
+    y2 = np.asarray(y2)
+    xall = np.concatenate([x, x2])
+    for c in range(m):
+        ref = _direct_channel(xall, h, m, c)[length : 2 * length : hop]
+        assert np.abs(y2[: len(ref), c] - ref).max() < 1e-5
+
+
+def test_oversampled_requires_divisor():
+    from pffft_tpu.channelizer import OversampledChannelizer
+
+    with pytest.raises(ValueError):
+        OversampledChannelizer(16, 3)
