@@ -320,8 +320,18 @@ class DDCChain:
         )
 
     def process(self, state: DDCState, x: jax.Array) -> Tuple[jax.Array, DDCState]:
-        """x [L] complex chunk -> (y [ceil(L/decim)] complex, state')."""
+        """x [L] complex chunk -> (y [L/decim] complex, state').
 
+        L must be a multiple of ``decim`` so the decimation phase is chunk
+        invariant (streaming == one-shot); otherwise the phase would have to
+        be carried as state and the output length would become dynamic.
+        """
+
+        if x.shape[0] % self.decim != 0:
+            raise ValueError(
+                f"chunk length {x.shape[0]} must be a multiple of decim="
+                f"{self.decim} (keeps the decimation phase chunk-invariant)"
+            )
         mixed, mst = _mixer.mixer_apply(state.mixer, x.astype(jnp.complex64))
         ext = jnp.concatenate([state.tail, mixed])
         n_out = x.shape[0]

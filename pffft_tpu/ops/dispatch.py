@@ -42,7 +42,7 @@ def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[s
         and time_major
         and batch % _pk.DEFAULT_TB == 0
         # ~6x the block plane (in + out + live intermediates, double-buffered)
-        and 6 * plan.engine_n * _pk.DEFAULT_TB * 4 * 2 <= _PALLAS_VMEM_BUDGET * 4
+        and 6 * plan.engine_n * _pk.DEFAULT_TB * 4 * 2 <= _PALLAS_VMEM_BUDGET
     ):
         out.append("pallas")
     return tuple(out)

@@ -187,13 +187,22 @@ class StreamFramer:
     def push(self, x) -> int:
         x = np.ascontiguousarray(np.asarray(x, dtype=np.float32).ravel())
         if self._lib is not None:
-            return int(
+            written = int(
                 self._lib.pftpu_ring_write(
                     self._ring,
                     x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     x.size,
                 )
             )
+            if written != x.size:
+                # The native ring truncates when full; silently dropping
+                # samples would corrupt the stream (and diverge from the
+                # unbounded Python fallback), so surface it.
+                raise BufferError(
+                    f"stream ring full: wrote {written}/{x.size} samples; "
+                    f"drain frames() before pushing, or push smaller chunks"
+                )
+            return written
         self._buf = np.concatenate([self._buf, x])
         return x.size
 
