@@ -55,13 +55,23 @@ def main():
     peak_bw = measure_peak_bw(128 << 20 if quick else 512 << 20)
 
     fft = lambda r, i: pf.fft.transform_ordered_split(plan, (r, i), pf.FORWARD)
-    # best of 3 independent measurements: this backend's throughput varies
-    # ~2x between runs (service contention / thermal); best-of is the
-    # stable round-over-round comparable
-    t_fft = min(
-        bench_op(fft, (re, im), k1=2 if quick else 4, k2=10 if quick else 20)
-        for _ in range(1 if quick else 3)
-    )
+    # Adaptive best-of-N: this backend's throughput varies ~2x between
+    # trials (service contention), so a fixed best-of-3 can land on a bad
+    # streak (round 1 recorded 665 GF/s vs 1717 measured elsewhere).  Keep
+    # trialling until the best stops improving (3 consecutive non-improving
+    # trials) or the cap; record every trial so regressions are
+    # distinguishable from contention in the archived JSON.
+    trials = []
+    stale = 0
+    max_trials = 3 if quick else 12
+    while len(trials) < max_trials:
+        t = bench_op(fft, (re, im), k1=2 if quick else 4, k2=10 if quick else 20)
+        improved = not trials or t < min(trials) * 0.98
+        trials.append(t)
+        stale = 0 if improved else stale + 1
+        if stale >= 3 and len(trials) >= (2 if quick else 5):
+            break
+    t_fft = min(trials)
 
     bytes_min = 4 * batch * n * 4  # 2 planes in + 2 planes out, f32
     sol_time = bytes_min / SPEC_BW_V5E
@@ -87,6 +97,7 @@ def main():
                 "speed_of_light_note": "vs_baseline = fraction of the TPU v5e spec HBM roofline (819 GB/s): 1.0 = one read+write of the operands at spec bandwidth",
                 "measured_probe_bw_GBps": round(peak_bw / 1e9, 1),
                 "ns_per_transform": round(t_fft / batch * 1e9, 1),
+                "trial_gflops": [round(flops / t / 1e9, 1) for t in trials],
                 "plan_factors": list(plan.factors),
                 "max_rel_err_vs_numpy": err,
             }

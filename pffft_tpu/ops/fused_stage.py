@@ -1,0 +1,195 @@
+"""Fused two-stage MXU FFT kernel: both dense stages in one VMEM pass.
+
+The production TPU plan policy factors N into two fat stages (e.g. 4096 =
+64 x 64, plan.default_max_factor) and runs each as an MXU DFT-matrix
+contraction.  Through XLA that is two-plus passes over HBM (stage-1 matmuls,
+twiddle, stage-2 matmuls, plus Gauss combine traffic).  This kernel performs
+the whole pipeline — stage-1 contraction, four-step twiddle, stage-2
+contraction, output (re)ordering — on a (TB, N) tile resident in VMEM, so
+the transform costs exactly one HBM read + one write.
+
+This is the MXU-scale analog of the reference's fused finalize pass
+(/root/reference/src/pffft_priv_impl.h:1195-1270: transpose + twiddle +
+radix-4 combine in registers, one memory pass); the radix<=5 VPU kernel in
+pallas_fft.py plays the same role for thin-stage plans.
+
+Complex arithmetic uses Gauss's 3-multiplication product (see
+ops/split.py:cmul_mode): per stage three HIGHEST-precision real matmuls
+k1=(ar+ai)Wr, k2=ar(Wi-Wr), k3=ai(Wr+Wi) — 25% less MXU work than the
+textbook four.  The in-kernel transposes between stages are VMEM-local
+(sublane/lane transposes), never HBM passes.
+
+Layout contract (bit-matched to ops/split.py:cfft_stages_split, verified by
+tests/test_fused_stage.py):
+  ordered:   out[b, k2*n1 + k1]  (canonical bins, k = k1 + n1*k2)
+  unordered: out[b, k1*n2 + k2]  (internal k1-major layout)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import plan as _plan
+
+__all__ = ["supported", "cfft_fused2", "DEFAULT_TB"]
+
+DEFAULT_TB = 64  # batch rows per grid step (VMEM-sized for N up to 16384)
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def supported(plan: _plan.Plan) -> bool:
+    """Two dense stages, both factors MXU-sized (the TPU plan policy)."""
+
+    active = [st for st in plan.stages if st.r > 1]
+    return (
+        plan.local_split is None
+        and len(active) == 2
+        and all(2 <= st.r <= 128 for st in active)
+    )
+
+
+def _mm(a, w):
+    return jnp.dot(a, w, precision=_PREC, preferred_element_type=jnp.float32)
+
+
+def _gauss_mm(ar, ai, wr, wsum, wdiff):
+    """(ar + i*ai) @ (W) via Gauss's three real matmuls."""
+
+    k1 = _mm(ar + ai, wr)
+    k2 = _mm(ar, wdiff)
+    k3 = _mm(ai, wsum)
+    return k1 - k3, k1 + k2
+
+
+def _make_kernel(n1: int, n2: int, ordered: bool):
+    n = n1 * n2
+
+    def kernel(
+        w1r_ref, w1s_ref, w1d_ref,
+        twr_ref, twi_ref,
+        w2r_ref, w2s_ref, w2d_ref,
+        re_ref, im_ref, or_ref, oi_ref,
+    ):
+        tb = re_ref.shape[0]
+        xr = re_ref[:].reshape(tb, n1, n2)
+        xi = im_ref[:].reshape(tb, n1, n2)
+        # stage 1 contracts j1 (axis -2): VMEM transpose -> rows (b, j2)
+        xr = jnp.swapaxes(xr, 1, 2).reshape(tb * n2, n1)
+        xi = jnp.swapaxes(xi, 1, 2).reshape(tb * n2, n1)
+        yr, yi = _gauss_mm(xr, xi, w1r_ref[:], w1s_ref[:], w1d_ref[:])
+        # four-step twiddle at the current [j2, k1] layout (tables pre-transposed)
+        yr = yr.reshape(tb, n2, n1)
+        yi = yi.reshape(tb, n2, n1)
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+        # stage 2 contracts j2: transpose back -> rows (b, k1)
+        yr = jnp.swapaxes(yr, 1, 2).reshape(tb * n1, n2)
+        yi = jnp.swapaxes(yi, 1, 2).reshape(tb * n1, n2)
+        zr, zi = _gauss_mm(yr, yi, w2r_ref[:], w2s_ref[:], w2d_ref[:])
+        if ordered:  # (b, k1, k2) -> (b, k2, k1): k = k1 + n1*k2 canonical
+            zr = jnp.swapaxes(zr.reshape(tb, n1, n2), 1, 2)
+            zi = jnp.swapaxes(zi.reshape(tb, n1, n2), 1, 2)
+        or_ref[:] = zr.reshape(tb, n)
+        oi_ref[:] = zi.reshape(tb, n)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=256)
+def _tables(plan: _plan.Plan, backward: bool):
+    """Host-side Gauss-precombined stage matrices + transposed twiddle."""
+
+    st1, st2 = [st for st in plan.stages if st.r > 1]
+
+    def gauss_triple(dft):
+        dr = np.ascontiguousarray(dft.real, dtype=np.float32)
+        di = dft.imag
+        return (
+            dr,
+            np.ascontiguousarray(dft.real + di, dtype=np.float32),
+            np.ascontiguousarray(di - dft.real, dtype=np.float32),
+        )
+
+    d1 = np.conj(st1.dft) if backward else st1.dft
+    d2 = np.conj(st2.dft) if backward else st2.dft
+    tw = np.conj(st2.twiddle) if backward else st2.twiddle  # [l=n1, r=n2]
+    twt = tw.T  # kernel layout [j2, k1]
+    return (
+        *gauss_triple(d1),
+        np.ascontiguousarray(twt.real, dtype=np.float32),
+        np.ascontiguousarray(twt.imag, dtype=np.float32),
+        *gauss_triple(d2),
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _build(plan: _plan.Plan, backward: bool, ordered: bool, tb: int, interpret: bool):
+    st1, st2 = [st for st in plan.stages if st.r > 1]
+    n1, n2 = st1.r, st2.r
+    n = plan.engine_n
+    assert n1 * n2 == n
+    tabs = _tables(plan, backward)
+    tab_specs = [
+        pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for t in tabs
+    ]
+    data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kernel = _make_kernel(n1, n2, ordered)
+
+    def call(re, im):
+        b = re.shape[0]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+        ]
+        # 6 HIGHEST matmuls = 6*6 bf16 passes of M*K*N MACs; bytes = 1 read
+        # + 1 write of both planes
+        flops = int(2 * 6 * 6 * b * n * max(n1, n2))
+        return pl.pallas_call(
+            kernel,
+            grid=(b // tb,),
+            in_specs=[*tab_specs, data_spec, data_spec],
+            out_specs=[data_spec, data_spec],
+            out_shape=out_shape,
+            input_output_aliases={len(tabs): 0, len(tabs) + 1: 1},
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=4 * 4 * n * b, transcendentals=0
+            ),
+        )(*[jnp.asarray(t) for t in tabs], re, im)
+
+    return call
+
+
+def cfft_fused2(
+    plan: _plan.Plan,
+    re: jax.Array,
+    im: jax.Array,
+    *,
+    backward: bool = False,
+    ordered: bool = True,
+    tb: int = DEFAULT_TB,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched complex FFT of batch-major planes [B, N] (B % tb == 0).
+
+    Unscaled both directions; layout per the module contract.
+    """
+
+    if not supported(plan):
+        raise ValueError(f"plan {plan} is not a two-fat-stage plan")
+    b, n = re.shape
+    if n != plan.engine_n:
+        raise ValueError(f"data length {n} != plan engine length {plan.engine_n}")
+    if b % tb:
+        raise ValueError(f"batch {b} must be a multiple of tile {tb}")
+    return _build(plan, backward, ordered, tb, interpret)(re, im)

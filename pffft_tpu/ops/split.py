@@ -63,19 +63,104 @@ def split_conj_mul(a: SplitPair, b: SplitPair) -> SplitPair:
 
 @functools.lru_cache(maxsize=4096)
 def _stage_consts(stage, backward: bool):
-    """Host-side split of a stage's complex tables (cached per plan stage)."""
+    """Host-side split of a stage's complex tables (cached per plan stage).
+
+    Returns (dft_re, dft_im, dft_sum, dft_diff, tw_re, tw_im) where
+    ``dft_sum = re + im`` and ``dft_diff = im - re`` are the precombined
+    matrices of Gauss's 3-multiplication complex product (see
+    :func:`_contract_stage`).
+    """
 
     dft = stage.dft
     tw = stage.twiddle
     if backward:
         dft = np.conj(dft)
         tw = np.conj(tw)
+    dr = np.ascontiguousarray(dft.real)
+    di = np.ascontiguousarray(dft.imag)
     return (
-        np.ascontiguousarray(dft.real),
-        np.ascontiguousarray(dft.imag),
+        dr,
+        di,
+        np.ascontiguousarray(dr + di),
+        np.ascontiguousarray(di - dr),
         np.ascontiguousarray(tw.real),
         np.ascontiguousarray(tw.imag),
     )
+
+
+def cmul_mode() -> str:
+    """Complex-contraction strategy: ``"gauss"`` (3 real matmuls via Gauss's
+    trick) or ``"4mul"`` (textbook 4 real matmuls).
+
+    On the MXU each stage is HIGHEST-precision matmul-bound, so Gauss's
+    k1=(ar+ai)W_re, k2=ar(W_im-W_re), k3=ai(W_re+W_im) cuts MXU work 25%
+    for one extra VPU add — the TPU-era analog of the reference hand-tuning
+    VCPLXMUL (pf_float.h:75-81).  Slightly larger intermediates (|a|·2·|W|)
+    cost ~1 bit; measured carrier-test dynamic range stays above the 140 dB
+    bound.  Overridable via PFFFT_TPU_CMUL=gauss|4mul or set_cmul_mode.
+    """
+
+    if _CMUL_FORCED is not None:
+        return _CMUL_FORCED
+    import os
+
+    env = os.environ.get("PFFFT_TPU_CMUL")
+    if env in ("gauss", "4mul"):
+        return env
+    # Backend policy, like plan.default_max_factor: Gauss costs ~1 bit of
+    # rounding, which the TPU fat-stage policy absorbs (153 dB measured,
+    # 13 dB over the bound) but CPU radix-chain plans cannot (measured
+    # 139.4 dB at N=160 — just under the reference's 140 dB bound).
+    return "gauss" if jax.default_backend() == "tpu" else "4mul"
+
+
+_CMUL_FORCED = None
+
+
+def set_cmul_mode(mode) -> None:
+    global _CMUL_FORCED
+    if mode not in (None, "gauss", "4mul"):
+        raise ValueError(f"unknown cmul mode {mode!r}")
+    _CMUL_FORCED = mode
+
+
+def _contract_stage(ar, ai, consts, sub: str) -> SplitPair:
+    """One stage's complex DFT-matrix contraction, planar.
+
+    ``sub`` is the full einsum subscript string contracting index ``r``
+    against the [r, t] DFT matrix.  Uses Gauss's 3-multiplication form or
+    the 4-multiplication form per :func:`cmul_mode`.
+    """
+
+    dr, di, dsum, ddiff, _, _ = consts
+    if cmul_mode() == "gauss":
+        jdr = jnp.asarray(dr, dtype=ar.dtype)
+        jdsum = jnp.asarray(dsum, dtype=ar.dtype)
+        jddiff = jnp.asarray(ddiff, dtype=ar.dtype)
+        k1 = jnp.einsum(sub, ar + ai, jdr, precision=_PRECISION)
+        k2 = jnp.einsum(sub, ar, jddiff, precision=_PRECISION)
+        k3 = jnp.einsum(sub, ai, jdsum, precision=_PRECISION)
+        return k1 - k3, k1 + k2
+    jdr = jnp.asarray(dr, dtype=ar.dtype)
+    jdi = jnp.asarray(di, dtype=ar.dtype)
+    nr = (
+        jnp.einsum(sub, ar, jdr, precision=_PRECISION)
+        - jnp.einsum(sub, ai, jdi, precision=_PRECISION)
+    )
+    ni = (
+        jnp.einsum(sub, ar, jdi, precision=_PRECISION)
+        + jnp.einsum(sub, ai, jdr, precision=_PRECISION)
+    )
+    return nr, ni
+
+
+def _stage_twiddle_mul(ar, ai, consts, bshape) -> SplitPair:
+    """Elementwise [l, r] stage-twiddle multiply, broadcast per ``bshape``."""
+
+    twr, twi = consts[4], consts[5]
+    wr = jnp.asarray(twr, dtype=ar.dtype).reshape(bshape)
+    wi = jnp.asarray(twi, dtype=ar.dtype).reshape(bshape)
+    return ar * wr - ai * wi, ar * wi + ai * wr
 
 
 def cfft_stages_split(
@@ -102,33 +187,103 @@ def cfft_stages_split(
         l, r, m = st.l, st.r, st.m
         if r == 1:
             continue
-        dr, di, twr, twi = _stage_consts(st, backward)
+        consts = _stage_consts(st, backward)
         ar = ar.reshape(b, l, r, m)
         ai = ai.reshape(b, l, r, m)
         if l > 1:
-            wr = jnp.asarray(twr, dtype=ar.dtype)[None, :, :, None]
-            wi = jnp.asarray(twi, dtype=ar.dtype)[None, :, :, None]
-            ar, ai = ar * wr - ai * wi, ar * wi + ai * wr
+            ar, ai = _stage_twiddle_mul(ar, ai, consts, (1, l, r, 1))
         last = idx == nstages - 1
         sub = "blrm,rt->bltm" if (last and not ordered) else "blrm,rt->btlm"
-        jdr = jnp.asarray(dr, dtype=ar.dtype)
-        jdi = jnp.asarray(di, dtype=ar.dtype)
-        nr = (
-            jnp.einsum(sub, ar, jdr, precision=_PRECISION)
-            - jnp.einsum(sub, ai, jdi, precision=_PRECISION)
-        )
-        ni = (
-            jnp.einsum(sub, ar, jdi, precision=_PRECISION)
-            + jnp.einsum(sub, ai, jdr, precision=_PRECISION)
-        )
+        nr, ni = _contract_stage(ar, ai, consts, sub)
         shape = (b, l * r, m)
         ar, ai = nr.reshape(shape), ni.reshape(shape)
     return ar.reshape(*lead, n), ai.reshape(*lead, n)
 
 
+def _stages_axis2_split(
+    ar: jax.Array,
+    ai: jax.Array,
+    stages: Sequence,
+    *,
+    backward: bool,
+) -> SplitPair:
+    """Staged complex FFT along axis -2 of [b, n, x], planar, canonical bins.
+
+    The trailing spectator axis ``x`` rides through every einsum, so the
+    column FFTs of the local four-step need no data transpose: XLA folds
+    the relayout into the contraction's read/write pattern.  Always
+    "ordered" along the transformed axis (the four-step twiddle indexes
+    canonical k1).
+    """
+
+    b, n, x = ar.shape
+    for st in stages:
+        l, r, m = st.l, st.r, st.m
+        if r == 1:
+            continue
+        consts = _stage_consts(st, backward)
+        ar = ar.reshape(b, l, r, m, x)
+        ai = ai.reshape(b, l, r, m, x)
+        if l > 1:
+            ar, ai = _stage_twiddle_mul(ar, ai, consts, (1, l, r, 1, 1))
+        nr, ni = _contract_stage(ar, ai, consts, "blrmx,rt->btlmx")
+        shape = (b, l * r, m, x)
+        ar, ai = nr.reshape(shape), ni.reshape(shape)
+    return ar.reshape(b, n, x), ai.reshape(b, n, x)
+
+
+def _stages_lead_spec_split(
+    ar: jax.Array,
+    ai: jax.Array,
+    stages: Sequence,
+    *,
+    backward: bool,
+    move_spectator: bool,
+) -> SplitPair:
+    """Staged complex FFT along the LAST axis of [b, y, n] with spectator
+    ``y`` at axis -2, planar, canonical bins.
+
+    With ``move_spectator`` the FINAL stage's einsum emits the spectator
+    axis last — output [b, n, y] — folding the four-step's output transpose
+    into the last contraction instead of a materialized swapaxes pass (the
+    round-1 large-N cliff: VERDICT.md "transposes dominate").
+    """
+
+    b, y, n = ar.shape
+    nstages = sum(1 for st in stages if st.r > 1)
+    seen = 0
+    for st in stages:
+        l, r, m = st.l, st.r, st.m
+        if r == 1:
+            continue
+        seen += 1
+        consts = _stage_consts(st, backward)
+        ar = ar.reshape(b, y, l, r, m)
+        ai = ai.reshape(b, y, l, r, m)
+        if l > 1:
+            ar, ai = _stage_twiddle_mul(ar, ai, consts, (1, 1, l, r, 1))
+        if seen == nstages and move_spectator:
+            nr, ni = _contract_stage(ar, ai, consts, "bylrm,rt->btlmy")
+            return nr.reshape(b, n, y), ni.reshape(b, n, y)
+        nr, ni = _contract_stage(ar, ai, consts, "bylrm,rt->bytlm")
+        shape = (b, y, l * r, m)
+        ar, ai = nr.reshape(shape), ni.reshape(shape)
+    return ar.reshape(b, y, n), ai.reshape(b, y, n)
+
+
 @functools.lru_cache(maxsize=256)
 def _split_tw_consts(key, backward: bool):
     tw = key.a
+    if backward:
+        tw = np.conj(tw)
+    return np.ascontiguousarray(tw.real), np.ascontiguousarray(tw.imag)
+
+
+@functools.lru_cache(maxsize=256)
+def _split_tw_consts_t(key, backward: bool):
+    """Transposed four-step twiddle planes (for the [j2, k1] layout)."""
+
+    tw = key.a.T
     if backward:
         tw = np.conj(tw)
     return np.ascontiguousarray(tw.real), np.ascontiguousarray(tw.imag)
@@ -158,6 +313,59 @@ def cfft_plan_split(
     p1, p2, tw = plan.local_split
     n1, n2 = plan.factors
     lead = re.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    ne = plan.engine_n
+
+    if p1.local_split is None and p2.local_split is None:
+        # Transpose-free four-step: every phase is a spectator-axis einsum,
+        # so the inter-phase relayouts ride the matmul read/write patterns
+        # instead of materialized swapaxes passes (round-1 N>=32768 cliff).
+        def twiddle_mul(ar, ai, transposed: bool):
+            key = _HashableArray(tw)
+            twr_np, twi_np = (
+                _split_tw_consts_t(key, backward)
+                if transposed
+                else _split_tw_consts(key, backward)
+            )
+            wr = jnp.asarray(twr_np, dtype=ar.dtype)
+            wi = jnp.asarray(twi_np, dtype=ar.dtype)
+            return ar * wr - ai * wi, ar * wi + ai * wr
+
+        if not backward:
+            ar = re.reshape(b, n1, n2)
+            ai = im.reshape(b, n1, n2)
+            # columns: FFT over j1 (axis -2), spectator j2 -> canonical k1
+            ar, ai = _stages_axis2_split(ar, ai, p1.stages, backward=False)
+            ar, ai = twiddle_mul(ar, ai, transposed=False)  # W_N^{k1 j2} [n1,n2]
+            # rows: FFT over j2 (last), spectator k1; ordered output moves
+            # the spectator last -> (b, k2, k1), flat = k1 + n1*k2
+            ar, ai = _stages_lead_spec_split(
+                ar, ai, p2.stages, backward=False, move_spectator=ordered
+            )
+            return ar.reshape(*lead, ne), ai.reshape(*lead, ne)
+
+        if ordered:  # input (b, k2, k1): k = k1 + n1*k2
+            ar = re.reshape(b, n2, n1)
+            ai = im.reshape(b, n2, n1)
+            # inverse rows over k2 (axis -2), spectator k1 -> (b, j2, k1)
+            ar, ai = _stages_axis2_split(ar, ai, p2.stages, backward=True)
+            ar, ai = twiddle_mul(ar, ai, transposed=True)  # conj tw at [j2, k1]
+            # inverse columns over k1 (last), spectator j2 moved last
+            ar, ai = _stages_lead_spec_split(
+                ar, ai, p1.stages, backward=True, move_spectator=True
+            )
+            return ar.reshape(*lead, ne), ai.reshape(*lead, ne)
+
+        ar = re.reshape(b, n1, n2)  # internal: (b, k1, k2), k1-major
+        ai = im.reshape(b, n1, n2)
+        ar, ai = _stages_lead_spec_split(
+            ar, ai, p2.stages, backward=True, move_spectator=False
+        )  # inverse rows over k2 -> (b, k1, j2)
+        ar, ai = twiddle_mul(ar, ai, transposed=False)  # conj tw at [k1, j2]
+        ar, ai = _stages_axis2_split(ar, ai, p1.stages, backward=True)
+        return ar.reshape(*lead, ne), ai.reshape(*lead, ne)
+
+    # Fallback (nested local splits): transpose-based four-step.
     twr_np, twi_np = _split_tw_consts(_HashableArray(tw), backward)
     twr = jnp.asarray(twr_np, dtype=re.dtype)
     twi = jnp.asarray(twi_np, dtype=re.dtype)

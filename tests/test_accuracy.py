@@ -202,3 +202,55 @@ def test_local_fourstep_real_transform():
     assert np.abs(got - packed).max() < 1e-3 * np.abs(ref).max()
     back = pf.transform_ordered_split(plan, (sr, si), pf.BACKWARD)
     assert np.abs(np.asarray(back) / n - x).max() < 1e-3
+
+
+def test_local_fourstep_internal_roundtrip():
+    """Internal-layout forward -> internal backward through the four-step
+    must be the unscaled identity (the zconvolve-path layout contract)."""
+
+    import jax.numpy as jnp
+    import pffft_tpu as pf
+    from pffft_tpu.ops import split as sp
+
+    n = 65536
+    plan = pf.new_setup(n, pf.COMPLEX, max_factor=128)
+    assert plan.local_split is not None
+    r = np.random.default_rng(2)
+    re = jnp.asarray(r.standard_normal(n).astype(np.float32))
+    im = jnp.asarray(r.standard_normal(n).astype(np.float32))
+    ur, ui = sp.cfft_plan_split(plan, re, im, backward=False, ordered=False)
+    br, bi = sp.cfft_plan_split(plan, ur, ui, backward=True, ordered=False)
+    assert np.abs(np.asarray(br) / n - np.asarray(re)).max() < 1e-3
+    assert np.abs(np.asarray(bi) / n - np.asarray(im)).max() < 1e-3
+
+
+def test_gauss_cmul_matches_4mul():
+    """Gauss 3-matmul contraction (the TPU default) vs the 4-matmul form:
+    same transform up to ~1 extra bit of rounding, on stage chains, fat
+    stages and the local four-step."""
+
+    import jax.numpy as jnp
+    import pffft_tpu as pf
+    from pffft_tpu.ops import split as sp
+
+    r = np.random.default_rng(3)
+    try:
+        for n, mf in [(1024, 5), (4096, 64), (65536, 128)]:
+            plan = pf.new_setup(n, pf.COMPLEX, max_factor=mf)
+            re = jnp.asarray(r.standard_normal(n).astype(np.float32))
+            im = jnp.asarray(r.standard_normal(n).astype(np.float32))
+            sp.set_cmul_mode("4mul")
+            r4r, r4i = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+            sp.set_cmul_mode("gauss")
+            rgr, rgi = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+            scale = float(np.abs(np.asarray(r4r)).max())
+            assert np.abs(np.asarray(rgr) - np.asarray(r4r)).max() < 2e-5 * scale
+            assert np.abs(np.asarray(rgi) - np.asarray(r4i)).max() < 2e-5 * scale
+            # gauss vs fp64 numpy: still well inside the oracle tolerance
+            ref = np.fft.fft(
+                np.asarray(re).astype(np.float64) + 1j * np.asarray(im).astype(np.float64)
+            )
+            got = np.asarray(rgr) + 1j * np.asarray(rgi)
+            assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+    finally:
+        sp.set_cmul_mode(None)
