@@ -34,10 +34,21 @@ def pack_real_input(x: jax.Array, cdtype) -> jax.Array:
     return (xz[..., 0] + 1j * xz[..., 1]).astype(cdtype)
 
 
-def _reverse_conj(z: jax.Array) -> jax.Array:
-    """y[k] = conj(z[(H - k) mod H]) along the last axis."""
+def _set_bin0(x: jax.Array, v: jax.Array) -> jax.Array:
+    """x.at[..., 0].set(v) as slice+concat (scatters serialize on TPU;
+    same construction as ops/split.py:_set_bin0)."""
 
-    return jnp.conj(jnp.roll(z[..., ::-1], 1, axis=-1))
+    return jnp.concatenate([v[..., None].astype(x.dtype), x[..., 1:]], axis=-1)
+
+
+def _reverse_conj(z: jax.Array) -> jax.Array:
+    """y[k] = conj(z[(H - k) mod H]) along the last axis.
+
+    roll(flip(z), 1) built from slices+concat: [z0, z_{H-1}, .., z1]
+    (the reversed_copy analog, pffft_priv_impl.h:1125 — also shuffle-free).
+    """
+
+    return jnp.conj(jnp.concatenate([z[..., 0:1], z[..., :0:-1]], axis=-1))
 
 
 def real_forward_split(Z: jax.Array, real_twiddle: np.ndarray) -> jax.Array:
@@ -55,7 +66,7 @@ def real_forward_split(Z: jax.Array, real_twiddle: np.ndarray) -> jax.Array:
     z0 = Z[..., 0]
     dc = jnp.real(z0) + jnp.imag(z0)
     nyq = jnp.real(z0) - jnp.imag(z0)
-    return x.at[..., 0].set(dc + 1j * nyq)
+    return _set_bin0(x, dc + 1j * nyq)
 
 
 def real_backward_split(S: jax.Array, real_twiddle: np.ndarray) -> jax.Array:
@@ -66,13 +77,14 @@ def real_backward_split(S: jax.Array, real_twiddle: np.ndarray) -> jax.Array:
     (re, im) yields exactly N * x (see fft.py).
     """
 
-    h = S.shape[-1]
     dc = jnp.real(S[..., 0])
     nyq = jnp.imag(S[..., 0])
-    xa = S.at[..., 0].set(dc.astype(S.dtype))  # X[k], k = 0..H-1 (X[0] real)
-    # xb[k] = X[H - k]: xb[0] = X[H] (real Nyquist), xb[k>0] = S[H-k]
-    xb = jnp.roll(xa[..., ::-1], 1, axis=-1)
-    xb = xb.at[..., 0].set(nyq.astype(S.dtype))
+    xa = _set_bin0(S, dc)  # X[k], k = 0..H-1 (X[0] real)
+    # xb[k] = X[H - k]: xb[0] = X[H] (real Nyquist), xb[k>0] = S[H-k];
+    # built directly from slices (no roll/scatter)
+    xb = jnp.concatenate(
+        [nyq[..., None].astype(S.dtype), xa[..., :0:-1]], axis=-1
+    )
     xbc = jnp.conj(xb)
     w = jnp.asarray(real_twiddle)
     e = xa + xbc            # 2*E[k]

@@ -182,37 +182,80 @@ class FourStepPlan:
         x2 = self._a2a(a, -2, -1)                       # [.., N1/D, N2]
         return x2.reshape(*lead, -1)
 
-    # --- real split steps (jit + sharding constraints; the flip/roll on the
-    # [H]-vector compiles to cheap collective-permutes) -------------------
+    # --- real split steps.  The Hermitian mirror y[k] = z[(H-k) mod H]
+    # crosses shard boundaries, so it runs INSIDE shard_map as a local flip
+    # plus two explicit ppermutes (shard reversal + boundary rotate) — the
+    # distributed rendition of the reference's shuffle-free reversed_copy
+    # (pffft_priv_impl.h:1125).  Left to the SPMD partitioner, the same
+    # computation compiled to serializing gathers (round-1 finding;
+    # asserted gather-free in test_parallel). -----------------------------
     def _sconstrain(self, x):
         spec = P(*([None] * (x.ndim - 1)), self.axis)
         return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))
+
+    def _rev1_local(self, f: jax.Array) -> jax.Array:
+        """Shard-local piece of the global y[k] = z[(H-k) mod H] mirror."""
+
+        ax, d = self.axis, self.n_shards
+        f = f[..., ::-1]  # local flip (lax.rev, shuffle-free)
+        if d > 1:
+            # global flip: shard s now holds flip-block D-1-s -> swap shards
+            f = jax.lax.ppermute(f, ax, [(i, d - 1 - i) for i in range(d)])
+            # rotate right by one element across the shard boundary
+            prev = jax.lax.ppermute(
+                f[..., -1:], ax, [(i, (i + 1) % d) for i in range(d)]
+            )
+        else:
+            prev = f[..., -1:]
+        return jnp.concatenate([prev, f[..., :-1]], axis=-1)
+
+    def _bin0_mask(self, length: int):
+        on_shard0 = jax.lax.axis_index(self.axis) == 0
+        return (jnp.arange(length) == 0) & on_shard0
+
+    def _real_post_fwd_core(self, zfl: jax.Array, rtwl: jax.Array) -> jax.Array:
+        zc = jnp.conj(self._rev1_local(zfl))
+        e = 0.5 * (zfl + zc)
+        o = -0.5j * (zfl - zc)
+        s = e + rtwl * o
+        z0 = zfl[..., 0:1]
+        packed0 = (jnp.real(z0) + jnp.imag(z0)) + 1j * (jnp.real(z0) - jnp.imag(z0))
+        mask = self._bin0_mask(zfl.shape[-1])
+        return jnp.where(mask, packed0.astype(s.dtype), s)
+
+    def _real_pre_bwd_core(self, sl: jax.Array, rtwl: jax.Array) -> jax.Array:
+        mask = self._bin0_mask(sl.shape[-1])
+        dc = jnp.real(sl[..., 0:1]).astype(sl.dtype)
+        nyq = jnp.imag(sl[..., 0:1]).astype(sl.dtype)
+        xa = jnp.where(mask, dc, sl)
+        xb = jnp.where(mask, nyq, self._rev1_local(xa))
+        xbc = jnp.conj(xb)
+        e = xa + xbc
+        o = jnp.conj(rtwl) * (xa - xbc)
+        return e + 1j * o
+
+    @functools.lru_cache(maxsize=64)
+    def _real_post_map(self, backward: bool, ndim: int):
+        data_spec = P(*([None] * (ndim - 1)), self.axis)
+        core = self._real_pre_bwd_core if backward else self._real_post_fwd_core
+        return shard_map(
+            core,
+            mesh=self.mesh,
+            in_specs=(data_spec, P(self.axis)),
+            out_specs=data_spec,
+            check_vma=False,
+        )
 
     def _real_fwd(self, x, tw, real_tw):
         lead = x.shape[:-1]
         xz = x.reshape(*lead, self.engine_n, 2)
         z = (xz[..., 0] + 1j * xz[..., 1]).astype(self.cdtype)
         zf = self._c_map(False, True, z.ndim)(self._sconstrain(z), tw)
-        zc = jnp.conj(jnp.roll(zf[..., ::-1], 1, axis=-1))
-        e = 0.5 * (zf + zc)
-        o = -0.5j * (zf - zc)
-        s = e + real_tw * o
-        z0 = zf[..., 0]
-        dc = jnp.real(z0) + jnp.imag(z0)
-        nyq = jnp.real(z0) - jnp.imag(z0)
-        s = s.at[..., 0].set(dc + 1j * nyq)
+        s = self._real_post_map(False, zf.ndim)(self._sconstrain(zf), real_tw)
         return self._sconstrain(s)
 
     def _real_bwd(self, s, tw, real_tw):
-        dc = jnp.real(s[..., 0])
-        nyq = jnp.imag(s[..., 0])
-        xa = s.at[..., 0].set(dc.astype(s.dtype))
-        xb = jnp.roll(xa[..., ::-1], 1, axis=-1)
-        xb = xb.at[..., 0].set(nyq.astype(s.dtype))
-        xbc = jnp.conj(xb)
-        e = xa + xbc
-        o = jnp.conj(real_tw) * (xa - xbc)
-        z2 = e + 1j * o
+        z2 = self._real_post_map(True, s.ndim)(self._sconstrain(s), real_tw)
         w = self._c_map(True, True, z2.ndim)(self._sconstrain(z2), tw)
         lead = w.shape[:-1]
         out = jnp.stack([jnp.real(w), jnp.imag(w)], axis=-1).reshape(*lead, self.n)

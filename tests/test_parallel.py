@@ -113,6 +113,26 @@ def test_fourstep_uses_collectives(mesh):
     )
 
 
+def test_fourstep_real_path_gather_free(mesh):
+    """The sharded REAL path must compile without gather/scatter ops (they
+    serialize on TPU — the repo's de-gather rule, CLAUDE.md; the reference
+    is also shuffle-free here: reversed_copy, pffft_priv_impl.h:1125)."""
+
+    n = 8192
+    fp = pfp.FourStepPlan(n, mesh, kind=pf.REAL)
+    x = jnp.zeros(n, dtype=jnp.float32)
+    for backward in (False, True):
+        if backward:
+            s = jnp.zeros(n // 2, dtype=jnp.complex64)
+            fn = jax.jit(lambda v: fp.backward(v))
+            txt = fn.lower(s).compile().as_text()
+        else:
+            fn = jax.jit(lambda v: fp.forward(v))
+            txt = fn.lower(x).compile().as_text()
+        for op in (" gather(", " scatter(", "all-gather-start"):
+            assert op not in txt, f"{op.strip()} in compiled real fourstep (backward={backward})"
+
+
 # ---------------------------------------------------------------------------
 # sharded overlap-save (halo exchange)
 # ---------------------------------------------------------------------------
