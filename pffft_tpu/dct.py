@@ -134,10 +134,23 @@ def dst3(x: jax.Array) -> jax.Array:
     return _sgn(n, x.dtype) * dct3(x[..., ::-1])
 
 
-# FFTPACK names
+# FFTPACK names.  cosqf/sinqf are exactly DCT-III/DST-III; the backward
+# quarter-wave transforms carry FFTPACK's factor 4 so cosqb(cosqf(x)) ==
+# 4N*x (fftpack.h cosqb/sinqb docs; cross-validated vs scipy.fftpack in
+# tests/test_oracle_scipy.py).
 cost = dct1
 sint = dst1
-cosqb = dct2
 cosqf = dct3
-sinqb = dst2
 sinqf = dst3
+
+
+def cosqb(x: jax.Array) -> jax.Array:
+    """FFTPACK cosqb = 2 * DCT-II (roundtrip cosqb(cosqf(x)) == 4N x)."""
+
+    return 2.0 * dct2(x)
+
+
+def sinqb(x: jax.Array) -> jax.Array:
+    """FFTPACK sinqb = 2 * DST-II (roundtrip sinqb(sinqf(x)) == 4N x)."""
+
+    return 2.0 * dst2(x)

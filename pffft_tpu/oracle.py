@@ -227,10 +227,28 @@ def dst3(x) -> np.ndarray:
         if n > 1 else x.copy()
 
 
-# FFTPACK names (fftpack.h:72-86)
+# FFTPACK names (fftpack.h:72-86).  Conventions cross-validated against
+# scipy.fftpack and the FFTPACK docs (fftpack.h): cosqf == DCT-III and
+# sinqf == DST-III exactly, but the *backward* quarter-wave transforms
+# carry FFTPACK's factor 4 (x(i) = sum 4*x(k)*cos(...), so that
+# cosqb(cosqf(x)) == 4n*x, not the 2n of plain DCT-II o DCT-III).
 cost = dct1
 sint = dst1
 cosqf = dct3   # quarter-wave forward
-cosqb = dct2   # quarter-wave backward
+
+
+def cosqb(x) -> np.ndarray:
+    """FFTPACK cosqb: X[k] = 4 sum_j x[j] cos(pi (2j+1) k / (2N)) = 2*DCT-II.
+    cosqb(cosqf(x)) == 4N * x (fftpack.h cosqb doc)."""
+
+    return 2.0 * dct2(x)
+
+
 sinqf = dst3
-sinqb = dst2
+
+
+def sinqb(x) -> np.ndarray:
+    """FFTPACK sinqb: X[k] = 4 sum_j x[j] sin(pi (2j+1)(k+1)/(2N)) = 2*DST-II.
+    sinqb(sinqf(x)) == 4N * x (fftpack.h sinqb doc)."""
+
+    return 2.0 * dst2(x)

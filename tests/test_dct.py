@@ -62,8 +62,17 @@ def test_involutions():
 
 def test_fftpack_names():
     assert d.cost is d.dct1 and d.sint is d.dst1
-    assert d.cosqb is d.dct2 and d.cosqf is d.dct3
-    assert d.sinqb is d.dst2 and d.sinqf is d.dst3
+    assert d.cosqf is d.dct3 and d.sinqf is d.dst3
+    # backward quarter-wave transforms carry FFTPACK's factor 4:
+    # cosqb(cosqf(x)) == 4N x (fftpack.h cosqb doc)
+    x = _rng(11).standard_normal(64).astype(np.float32)
+    xj = jnp.asarray(x)
+    np.testing.assert_allclose(
+        np.asarray(d.cosqb(d.cosqf(xj))) / (4 * 64), x, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(d.sinqb(d.sinqf(xj))) / (4 * 64), x, atol=1e-4
+    )
 
 
 def test_odd_n_rejected_for_quarterwave():
