@@ -3,14 +3,24 @@
 Protocol parity with /root/reference/benchmarks/bench_pffft.c: pow2 and
 non-pow2 N sweeps, MFlops = 5 (cplx) / 2.5 (real) * N*log2(N) per
 transform, markdown table + CSV emitters (bench-fft-table-*.txt /
-*-mflops.csv, bench_pffft.c:1304-1399).  TPU-native additions: effective
-HBM bandwidth and fraction of measured speed-of-light per entry (the
-roofline/PAPI analog, SURVEY.md §5.1), honest deferred-execution-safe
-timing (benchmarks/timing.py).
+*-mflops.csv, bench_pffft.c:1304-1399), plan-preparation cost column
+(TYPE_PREP analog, bench_pffft.c:611), and — with --compare — a
+competitor set with relative columns (the reference benches
+FFTPACK/vDSP/FFTW/Green/Kiss/Pocket/MKL, bench_pffft.c:128-151; here the
+available analogs are numpy pocketfft, scipy.fft, torch.fft and XLA's
+own jnp.fft on the same backend, plus this framework's unordered layout
+as the PFFFT-U analog).
+
+TPU-native additions: fraction of the v5e spec-HBM speed-of-light per
+entry (the roofline/PAPI analog, SURVEY.md §5.1), deferred-execution-safe
+timing (benchmarks/timing.py), best-of-N trials with recorded spread, and
+a bw_artifact flag on rows whose SoL exceeds 1 (this backend's memory
+timing is optimistic — see CLAUDE.md — so faster-than-light rows are
+marked rather than silently archived).
 
 Usage: python benchmarks/sweep_fft.py [--real] [--cplx] [--quick]
        [--non-pow2] [--max-len N] [--batch-mib M] [--csv out.csv]
-       [--table out.txt] [--cpu] [--max-factor K]
+       [--table out.txt] [--cpu] [--max-factor K] [--trials T] [--compare]
 """
 
 import argparse
@@ -18,11 +28,100 @@ import json
 import math
 import os
 import sys
+import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SPEC_BW_V5E = 819e9  # TPU v5e HBM spec; SoL is vs this fixed roofline
+
+
+def _bench_host(fn, min_time=0.15):
+    """Wall-time per call of a synchronous host function (>=150 ms window,
+    the reference's duration discipline, bench_pffft.c:547-550)."""
+
+    fn()  # warm-up
+    iters = 1
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        dt = time.perf_counter() - t0
+        if dt >= min_time:
+            return dt / iters
+        iters = max(iters + 1, int(iters * min_time / max(dt, 1e-9) * 1.2))
+
+
+def _competitors(kind, n, batch, xnp, znp, backend):
+    """Competitor GFLOP/s columns (numpy / scipy / torch on host; jnp on
+    the current backend).  Returns {name: gflops or None}."""
+
+    mf = (2.5 if kind == "real" else 5.0) * n * math.log2(n) * batch
+    out = {}
+
+    def add(name, fn):
+        try:
+            t = _bench_host(fn)
+            out[name] = round(mf / t / 1e9, 2)
+        except Exception:
+            out[name] = None
+
+    if kind == "real":
+        add("numpy", lambda: np.fft.rfft(xnp, axis=-1))
+        try:
+            import scipy.fft as sfft
+
+            add("scipy", lambda: sfft.rfft(xnp, axis=-1))
+        except ImportError:
+            out["scipy"] = None
+        try:
+            import torch
+
+            xt = torch.from_numpy(xnp)
+            add("torch", lambda: torch.fft.rfft(xt, dim=-1))
+        except ImportError:
+            out["torch"] = None
+    else:
+        add("numpy", lambda: np.fft.fft(znp, axis=-1))
+        try:
+            import scipy.fft as sfft
+
+            add("scipy", lambda: sfft.fft(znp, axis=-1))
+        except ImportError:
+            out["scipy"] = None
+        try:
+            import torch
+
+            zt = torch.from_numpy(znp)
+            add("torch", lambda: torch.fft.fft(zt, dim=-1))
+        except ImportError:
+            out["torch"] = None
+
+    # XLA's own FFT on the same backend (complex dtypes are unimplemented
+    # on the axon TPU runtime, so this column is expected to be None there).
+    # bench_op chains iterations, so the step must be carry-type-preserving:
+    # cplx uses fft directly; real times an rfft+irfft pair and halves.
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from timing import bench_op
+
+        if kind == "real":
+            xd = jnp.asarray(xnp)
+            t = bench_op(
+                lambda v: (jnp.fft.irfft(jnp.fft.rfft(v, axis=-1), n=v.shape[-1], axis=-1),),
+                (xd,),
+            ) / 2.0
+        else:
+            zd = jnp.asarray(znp)
+            t = bench_op(lambda v: (jnp.fft.fft(v, axis=-1),), (zd,))
+        out[f"jnpfft_{backend}"] = round(mf / t / 1e9, 2)
+    except Exception:
+        out[f"jnpfft_{backend}"] = None
+    return out
 
 
 def main():
@@ -30,13 +129,15 @@ def main():
     ap.add_argument("--real", action="store_true")
     ap.add_argument("--cplx", action="store_true")
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--max-len", type=int, default=1 << 17)
+    ap.add_argument("--max-len", type=int, default=1 << 21)
     ap.add_argument("--batch-mib", type=int, default=32, help="plane working set target")
     ap.add_argument("--csv", type=str, default=None)
     ap.add_argument("--table", type=str, default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--max-factor", type=int, default=None)
     ap.add_argument("--non-pow2", action="store_true")
+    ap.add_argument("--trials", type=int, default=None, help="best-of-N per point")
+    ap.add_argument("--compare", action="store_true", help="competitor columns")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +148,8 @@ def main():
 
     import pffft_tpu as pf
     from timing import bench_op, measure_peak_bw
+
+    trials = args.trials or (1 if args.quick else 3)
 
     kinds = []
     if args.real or not args.cplx:
@@ -63,7 +166,9 @@ def main():
 
     dev = jax.devices()[0]
     bw = measure_peak_bw(64 << 20 if args.quick else 256 << 20)
-    print(f"# device={dev.platform} measured peak BW = {bw/1e9:.0f} GB/s", file=sys.stderr)
+    print(f"# device={dev.platform} measured probe BW = {bw/1e9:.0f} GB/s "
+          f"(SoL column uses the {SPEC_BW_V5E/1e9:.0f} GB/s spec roofline)",
+          file=sys.stderr)
 
     rng = np.random.default_rng(0)
     rows = []
@@ -72,35 +177,58 @@ def main():
             if not pf.is_valid_size(n, pf.REAL if kind == "real" else pf.COMPLEX):
                 continue
             batch = max(8, (args.batch_mib << 20) // (4 * n))
+            t_prep0 = time.perf_counter()
             plan = pf.new_setup(n, pf.REAL if kind == "real" else pf.COMPLEX,
                                 max_factor=args.max_factor)
+            prep_ms = (time.perf_counter() - t_prep0) * 1e3
+            xnp = znp = None
             if kind == "real":
-                x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+                xnp = rng.standard_normal((batch, n)).astype(np.float32)
+                x = jnp.asarray(xnp)
 
                 def step(v, p=plan):
                     sr, si = pf.fft.transform_ordered_split(p, v, pf.FORWARD)
                     return (pf.fft.transform_ordered_split(p, (sr, si), pf.BACKWARD),)
 
-                t = bench_op(step, (x,)) / 2.0  # per transform (fwd+bwd pair)
+                tc0 = time.perf_counter()
+                ts = [bench_op(step, (x,)) / 2.0 for _ in range(trials)]
+                compile_s = time.perf_counter() - tc0 - 2 * sum(ts)
+                t, tu = min(ts), None
                 bytes_min = (batch * n + 2 * batch * (n // 2)) * 4
                 mf = 2.5 * n * math.log2(n)
             else:
-                re = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-                im = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+                znp = (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+                re = jnp.asarray(znp.real.copy())
+                im = jnp.asarray(znp.imag.copy())
                 step = lambda r, i, p=plan: pf.fft.transform_ordered_split(p, (r, i), pf.FORWARD)
-                t = bench_op(step, (re, im))
+                tc0 = time.perf_counter()
+                ts = [bench_op(step, (re, im)) for _ in range(trials)]
+                compile_s = time.perf_counter() - tc0 - sum(ts)
+                t = min(ts)
                 # unordered (internal layout) variant — the PFFFT-U analog
                 stepu = lambda r, i, p=plan: pf.fft.transform_split(p, (r, i), pf.FORWARD)
-                tu = bench_op(stepu, (re, im))
+                tu = min(bench_op(stepu, (re, im)) for _ in range(max(1, trials - 1)))
                 bytes_min = 4 * batch * n * 4
                 mf = 5.0 * n * math.log2(n)
+            sol = (bytes_min / SPEC_BW_V5E) / t
+            spread = (max(ts) - min(ts)) / min(ts) if len(ts) > 1 else 0.0
             row = dict(kind=kind, n=n, batch=batch,
                        ns_per=round(t / batch * 1e9, 2),
                        gflops=round(mf * batch / t / 1e9, 1),
-                       sol=round((bytes_min / bw) / t, 3),
+                       sol=round(sol, 3),
+                       bw_artifact=bool(sol > 1.0),
+                       trials=trials, spread=round(spread, 3),
+                       prep_ms=round(prep_ms, 2),
                        factors=str(plan.factors))
-            if kind == "cplx":
+            if tu is not None:
                 row["gflops_unordered"] = round(mf * batch / tu / 1e9, 1)
+            if args.compare:
+                comp = _competitors(kind, n, batch, xnp, znp, dev.platform)
+                for name, g in comp.items():
+                    row[f"gflops_{name}"] = g
+                    row[f"relToPffft_{name}"] = (
+                        round(g / row["gflops"], 3) if g else None
+                    )
             rows.append(row)
             print(json.dumps(row), flush=True)
 
@@ -117,14 +245,14 @@ def main():
             w.writeheader()
             w.writerows(rows)
     if args.table:
+        cols = ["kind", "n", "batch", "ns_per", "gflops", "sol", "prep_ms", "factors"]
+        extra = [k for k in rows[0] if k.startswith("gflops_")] if rows else []
+        cols += extra
         with open(args.table, "w") as f:
-            f.write(f"| kind | N | batch | ns/transform | GFLOP/s | SoL | factors |\n")
-            f.write("|---|---|---|---|---|---|---|\n")
+            f.write("| " + " | ".join(cols) + " |\n")
+            f.write("|" + "---|" * len(cols) + "\n")
             for r in rows:
-                f.write(
-                    f"| {r['kind']} | {r['n']} | {r['batch']} | {r['ns_per']} "
-                    f"| {r['gflops']} | {r['sol']} | {r['factors']} |\n"
-                )
+                f.write("| " + " | ".join(str(r.get(c, "")) for c in cols) + " |\n")
 
 
 if __name__ == "__main__":

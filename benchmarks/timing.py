@@ -40,7 +40,11 @@ def _fetch(out) -> float:
 
     total = None
     for leaf in jax.tree_util.tree_leaves(out):
-        s = jnp.sum(leaf)
+        if jnp.iscomplexobj(leaf):
+            # sum both planes so neither dependency cone is skipped
+            s = jnp.sum(jnp.real(leaf)) + jnp.sum(jnp.imag(leaf))
+        else:
+            s = jnp.sum(leaf)
         total = s if total is None else total + s
     return float(total)
 

@@ -71,7 +71,9 @@ def _gauss_mm(ar, ai, wr, wsum, wdiff):
 
 
 def _make_kernel(n1: int, n2: int, ordered: bool):
-    n = n1 * n2
+    """Kernel over 3D blocks (tb, n1, n2) — no lane-splitting reshapes
+    inside the kernel (Mosaic rejects them); all data movement is
+    swapaxes of the minor two dims plus last-axis matmuls."""
 
     def kernel(
         w1r_ref, w1s_ref, w1d_ref,
@@ -79,28 +81,25 @@ def _make_kernel(n1: int, n2: int, ordered: bool):
         w2r_ref, w2s_ref, w2d_ref,
         re_ref, im_ref, or_ref, oi_ref,
     ):
-        tb = re_ref.shape[0]
-        xr = re_ref[:].reshape(tb, n1, n2)
-        xi = im_ref[:].reshape(tb, n1, n2)
-        # stage 1 contracts j1 (axis -2): VMEM transpose -> rows (b, j2)
-        xr = jnp.swapaxes(xr, 1, 2).reshape(tb * n2, n1)
-        xi = jnp.swapaxes(xi, 1, 2).reshape(tb * n2, n1)
+        xr = re_ref[:]  # (tb, j1, j2)
+        xi = im_ref[:]
+        # stage 1 contracts j1: transpose minor dims, matmul the last axis
+        xr = jnp.swapaxes(xr, 1, 2)  # (tb, j2, j1)
+        xi = jnp.swapaxes(xi, 1, 2)
         yr, yi = _gauss_mm(xr, xi, w1r_ref[:], w1s_ref[:], w1d_ref[:])
         # four-step twiddle at the current [j2, k1] layout (tables pre-transposed)
-        yr = yr.reshape(tb, n2, n1)
-        yi = yi.reshape(tb, n2, n1)
         twr = twr_ref[:]
         twi = twi_ref[:]
         yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
-        # stage 2 contracts j2: transpose back -> rows (b, k1)
-        yr = jnp.swapaxes(yr, 1, 2).reshape(tb * n1, n2)
-        yi = jnp.swapaxes(yi, 1, 2).reshape(tb * n1, n2)
+        # stage 2 contracts j2: transpose back -> (tb, k1, j2)
+        yr = jnp.swapaxes(yr, 1, 2)
+        yi = jnp.swapaxes(yi, 1, 2)
         zr, zi = _gauss_mm(yr, yi, w2r_ref[:], w2s_ref[:], w2d_ref[:])
         if ordered:  # (b, k1, k2) -> (b, k2, k1): k = k1 + n1*k2 canonical
-            zr = jnp.swapaxes(zr.reshape(tb, n1, n2), 1, 2)
-            zi = jnp.swapaxes(zi.reshape(tb, n1, n2), 1, 2)
-        or_ref[:] = zr.reshape(tb, n)
-        oi_ref[:] = zi.reshape(tb, n)
+            zr = jnp.swapaxes(zr, 1, 2)
+            zi = jnp.swapaxes(zi, 1, 2)
+        or_ref[:] = zr
+        oi_ref[:] = zi
 
     return kernel
 
@@ -142,30 +141,36 @@ def _build(plan: _plan.Plan, backward: bool, ordered: bool, tb: int, interpret: 
     tab_specs = [
         pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for t in tabs
     ]
-    data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((tb, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    oshape = (n2, n1) if ordered else (n1, n2)
+    out_spec = pl.BlockSpec((tb, *oshape), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     kernel = _make_kernel(n1, n2, ordered)
 
     def call(re, im):
         b = re.shape[0]
         out_shape = [
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, *oshape), jnp.float32),
+            jax.ShapeDtypeStruct((b, *oshape), jnp.float32),
         ]
         # 6 HIGHEST matmuls = 6*6 bf16 passes of M*K*N MACs; bytes = 1 read
         # + 1 write of both planes
         flops = int(2 * 6 * 6 * b * n * max(n1, n2))
-        return pl.pallas_call(
+        zr, zi = pl.pallas_call(
             kernel,
             grid=(b // tb,),
-            in_specs=[*tab_specs, data_spec, data_spec],
-            out_specs=[data_spec, data_spec],
+            in_specs=[*tab_specs, in_spec, in_spec],
+            out_specs=[out_spec, out_spec],
             out_shape=out_shape,
-            input_output_aliases={len(tabs): 0, len(tabs) + 1: 1},
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=flops, bytes_accessed=4 * 4 * n * b, transcendentals=0
             ),
-        )(*[jnp.asarray(t) for t in tabs], re, im)
+        )(
+            *[jnp.asarray(t) for t in tabs],
+            re.reshape(b, n1, n2),
+            im.reshape(b, n1, n2),
+        )
+        return zr.reshape(b, n), zi.reshape(b, n)
 
     return call
 

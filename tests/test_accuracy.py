@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 import pffft_tpu as pf
 
-POW2_SIZES = [32, 64, 128, 256, 1024, 4096, 16384, 65536]
+# every pow2 32..65536, matching the reference's sweep (test_pffft.c:333-353)
+# — 512/2048/8192/32768 sit exactly at fat-stage factor-shape transitions
+# and were skipped in round 1 (VERDICT.md weak #6)
+POW2_SIZES = [1 << k for k in range(5, 17)]
 NONPOW2_SIZES = [96, 160, 480, 2400, 9216]
 
 DYN_RANGE_DB = {"float32": 140.0, "float64": 215.0}
@@ -63,7 +66,7 @@ def _bin_powers(y, n, cplx):
     return p
 
 
-def _run_case(n, cplx, ordered, dtype):
+def _run_case(n, cplx, ordered, dtype, dyn_bound=None):
     kind = pf.COMPLEX if cplx else pf.REAL
     plan = pf.new_setup(n, kind, dtype=dtype)
     x, ks, amps, phi0s = _carrier_batch(n, cplx, dtype)
@@ -80,7 +83,8 @@ def _run_case(n, cplx, ordered, dtype):
     z = np.asarray(z)
 
     pwr = _bin_powers(y_ord, n, cplx)
-    dyn_bound = DYN_RANGE_DB[dtype]
+    if dyn_bound is None:
+        dyn_bound = DYN_RANGE_DB[dtype]
 
     for row, k in enumerate(ks):
         amp, phi0 = amps[row], phi0s[row]
@@ -133,6 +137,19 @@ def test_carrier_nonpow2_f32(n, cplx):
 @pytest.mark.parametrize("cplx", [False, True], ids=["real", "cplx"])
 def test_carrier_f64(n, cplx):
     _run_case(n, cplx, True, "float64")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cplx", [False, True], ids=["real", "cplx"])
+def test_carrier_2pow20_f64(cplx):
+    """N = 2^20 carrier accuracy (the local-split / long-transform policy
+    regime; round 1 tested nothing above 65536 although plans accept
+    2^26).  fp64 so the bound is meaningful under every stage policy.
+    The reference's 215 dB bound applies to N <= 65536; fp64 rounding
+    decays ~2-3 dB per size doubling beyond that (measured 206.3 dB at
+    2^20), so this beyond-reference size pins a 200 dB regression floor."""
+
+    _run_case(1 << 20, cplx, True, "float64", dyn_bound=200.0)
 
 
 @pytest.mark.parametrize("n", [480, 1024])
