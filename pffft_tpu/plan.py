@@ -50,6 +50,8 @@ __all__ = [
     "simd_arch",
     "decompose_smooth",
     "plan_factors",
+    "save_plan",
+    "load_plan",
 ]
 
 
@@ -571,6 +573,84 @@ class Plan:
             and self.dtype == other.dtype
             and self.factors == other.factors
         )
+
+
+# ---------------------------------------------------------------------------
+# Plan serialization (the checkpoint analog, SURVEY.md §5.4: the reference's
+# only "checkpointable" state is the precomputed Setup; here a Plan is a
+# frozen pytree of numpy tables and serializes losslessly — restore does NOT
+# recompute twiddles, so a restored plan is bit-identical to the saved one)
+# ---------------------------------------------------------------------------
+
+
+def _plan_to_arrays(plan: Plan, prefix: str, out: dict) -> None:
+    out[prefix + "meta"] = np.array(
+        [plan.n, 0 if plan.kind == REAL else 1, plan.engine_n], dtype=np.int64
+    )
+    out[prefix + "dtype"] = np.array(plan.dtype.name)
+    out[prefix + "factors"] = np.array(plan.factors, dtype=np.int64)
+    for i, st in enumerate(plan.stages):
+        sp = f"{prefix}s{i}_"
+        out[sp + "rlm"] = np.array([st.r, st.l, st.m], dtype=np.int64)
+        out[sp + "dft"] = st.dft
+        out[sp + "tw"] = st.twiddle
+    if plan.real_twiddle is not None:
+        out[prefix + "real_tw"] = plan.real_twiddle
+    if plan.local_split is not None:
+        p1, p2, tw = plan.local_split
+        out[prefix + "ls_tw"] = tw
+        _plan_to_arrays(p1, prefix + "ls1_", out)
+        _plan_to_arrays(p2, prefix + "ls2_", out)
+
+
+def _plan_from_arrays(d, prefix: str) -> Plan:
+    n, kind_i, engine_n = (int(v) for v in d[prefix + "meta"])
+    kind = REAL if kind_i == 0 else COMPLEX
+    dtype = np.dtype(str(d[prefix + "dtype"]))
+    cdtype = np.dtype(np.complex64) if dtype == np.float32 else np.dtype(np.complex128)
+    factors = tuple(int(v) for v in d[prefix + "factors"])
+    stages = []
+    i = 0
+    while f"{prefix}s{i}_rlm" in d:
+        r, l, m = (int(v) for v in d[f"{prefix}s{i}_rlm"])
+        stages.append(
+            StageTables(r=r, l=l, m=m, dft=d[f"{prefix}s{i}_dft"], twiddle=d[f"{prefix}s{i}_tw"])
+        )
+        i += 1
+    real_tw = d[prefix + "real_tw"] if prefix + "real_tw" in d else None
+    local_split = None
+    if prefix + "ls_tw" in d:
+        local_split = (
+            _plan_from_arrays(d, prefix + "ls1_"),
+            _plan_from_arrays(d, prefix + "ls2_"),
+            d[prefix + "ls_tw"],
+        )
+    return Plan(
+        n=n,
+        kind=kind,
+        dtype=dtype,
+        cdtype=cdtype,
+        engine_n=engine_n,
+        factors=factors,
+        stages=tuple(stages),
+        real_twiddle=real_tw,
+        local_split=local_split,
+    )
+
+
+def save_plan(plan: Plan, file) -> None:
+    """Serialize a plan (all precomputed tables) to a .npz file/path."""
+
+    arrays: dict = {}
+    _plan_to_arrays(plan, "p_", arrays)
+    np.savez(file, **arrays)
+
+
+def load_plan(file) -> Plan:
+    """Restore a plan saved by :func:`save_plan` (no table recompute)."""
+
+    with np.load(file, allow_pickle=False) as d:
+        return _plan_from_arrays(d, "p_")
 
 
 def new_setup(n: int, kind=COMPLEX, dtype="float32", **kw) -> Plan:

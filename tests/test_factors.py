@@ -96,3 +96,46 @@ def test_plan_cache_identity():
     a = pf.new_setup(1024, pf.COMPLEX)
     b = pf.new_setup(1024, pf.COMPLEX)
     assert a is b  # read-only, shared (pffft.h:102-106 shareability analog)
+
+
+def test_plan_serialization_roundtrip(tmp_path):
+    """save_plan/load_plan restore every table bit-exactly (the checkpoint
+    analog, SURVEY.md §5.4) and the restored plan transforms identically."""
+
+    import io
+
+    import jax.numpy as jnp
+
+    import pffft_tpu as pf
+    from pffft_tpu.plan import load_plan, save_plan
+
+    for n, kind, mf in [(4096, pf.COMPLEX, 64), (8192, pf.REAL, 5), (65536, pf.COMPLEX, 128)]:
+        plan = pf.new_setup(n, kind, max_factor=mf)
+        buf = io.BytesIO()
+        save_plan(plan, buf)
+        buf.seek(0)
+        back = load_plan(buf)
+        assert back.n == plan.n and back.kind == plan.kind
+        assert back.factors == plan.factors
+        assert len(back.stages) == len(plan.stages)
+        for a, b in zip(plan.stages, back.stages):
+            assert (a.r, a.l, a.m) == (b.r, b.l, b.m)
+            np.testing.assert_array_equal(a.dft, b.dft)
+            np.testing.assert_array_equal(a.twiddle, b.twiddle)
+        if plan.real_twiddle is not None:
+            np.testing.assert_array_equal(plan.real_twiddle, back.real_twiddle)
+        assert (plan.local_split is None) == (back.local_split is None)
+        rng = np.random.default_rng(n)
+        if kind == pf.COMPLEX:
+            x = jnp.asarray((rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64))
+        else:
+            x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        ya = np.asarray(pf.transform_ordered(plan, x))
+        yb = np.asarray(pf.transform_ordered(back, x))
+        np.testing.assert_array_equal(ya, yb)
+
+    # file-path form
+    plan = pf.new_setup(1024, pf.COMPLEX)
+    path = tmp_path / "plan.npz"
+    save_plan(plan, str(path))
+    assert load_plan(str(path)).factors == plan.factors

