@@ -160,9 +160,32 @@ class Mixer:
 
 
 # ---------------------------------------------------------------------------
-# ALGO A-J parity surface (pf_mixer.h).  All are the same TPU kernel; the
-# init functions return state objects mirroring the C structs' streaming
-# semantics, and each shift_*_cc returns (output, next_starting_phase).
+# ALGO A-J parity surface (pf_mixer.h:70-280).
+#
+# Unlike round 1 (one kernel + thin wrappers), each algorithm below
+# reproduces its reference counterpart's OWN numerics, including the
+# family's documented quirks:
+#
+#   * ALGO A multiplies sample k by phase phi0 + k*D (D = 2*pi*rate);
+#     ALGO C/D/E multiply sample k by phi0 + (k+1)*D — a genuine
+#     one-sample carrier offset in the reference (compare
+#     pf_mixer.cpp:149-158 with the SADF_L1 macro at :245-247 and the
+#     init loops at :341-348 which advance phase BEFORE storing).
+#   * ALGO B's upstream index computation has an operator-precedence bug
+#     (`(int)(vphase/(PI/2))*table_size`, pf_mixer.cpp:200 — the cast
+#     binds before the multiply, so the index is always 0 and the carrier
+#     degenerates to quadrant steps).  We implement the *intended*
+#     table-quantized semantics and do not replicate the bug.
+#   * ALGO E renormalizes its phasor every 128 samples
+#     (pf_mixer.cpp "starts := vals / |vals|"); C and D never do.
+#   * ALGO I/J run the Vicanek "magic circle" recursion
+#     u' = u - k1 v; v' = v + k2 u'; u'' = u' ... with 8 staggered lanes
+#     advancing by 8 steps at a time (pf_mixer.cpp ALGO I).
+#
+# All heavy math stays vectorized; only the genuinely sequential carries
+# (per-block phasor products, the QuadOsc recursion) use lax.scan.  These
+# entry points are the parity surface; the production TPU mixer is
+# mixer_apply's drift-free integer NCO above.
 # ---------------------------------------------------------------------------
 
 
@@ -174,16 +197,15 @@ def _shift_once(x, rate: float, starting_phase: float):
 
 
 def shift_math_cc(x, rate: float, starting_phase: float = 0.0):
-    """ALGO A parity (pf_mixer.cpp:141-163): exact trig NCO.
-
-    Returns (output, next_phase_radians) like the C float return."""
+    """ALGO A parity (pf_mixer.cpp:141-163): exact trig NCO, sample k at
+    phase phi0 + 2*pi*rate*k.  Returns (output, next_phase_radians)."""
 
     return _shift_once(x, rate, starting_phase)
 
 
 @dataclasses.dataclass
 class ShiftTableData:
-    """ALGO B state (quarter-wave table in C; table-free here)."""
+    """ALGO B state: quarter-wave sine table (pf_mixer.cpp:171-187)."""
 
     table_size: int
 
@@ -193,53 +215,156 @@ def shift_table_init(table_size: int = 65536) -> ShiftTableData:
 
 
 def shift_table_cc(x, rate: float, table_data: ShiftTableData, starting_phase: float = 0.0):
-    """ALGO B parity (pf_mixer.cpp:171-224)."""
+    """ALGO B (intended semantics): carrier trig quantized to a quarter-wave
+    table of ``table_size`` entries per quadrant — sin/cos are evaluated at
+    phase floor(vphase / (pi/2) * T) / T * (pi/2) with the table's
+    cos-index mirror (T-1-i), reproducing the table's value grid exactly.
+    (The upstream index expression is bugged; see module notes.)"""
 
-    del table_data  # trig is native on the VPU; table strategy not needed
-    return _shift_once(x, rate, starting_phase)
+    t = int(table_data.table_size)
+    n = jnp.asarray(x).shape[-1]
+    delta = 2.0 * np.pi * float(rate)
+    phase = (starting_phase + delta * np.arange(n, dtype=np.float64)) % (2.0 * np.pi)
+    quadrant = np.floor(phase / (np.pi / 2.0)).astype(np.int64) % 4
+    vphase = phase - quadrant * (np.pi / 2.0)
+    idx = np.clip((vphase / (np.pi / 2.0) * t).astype(np.int64), 0, t - 1)
+    s_tab = np.sin(idx / t * (np.pi / 2.0)).astype(np.float32)
+    c_tab = np.sin((t - 1 - idx) / t * (np.pi / 2.0)).astype(np.float32)
+    odd = (quadrant & 1).astype(bool)
+    sinv = np.where(odd, c_tab, s_tab)
+    cosv = np.where(odd, s_tab, c_tab)
+    sinv = np.where(quadrant > 1, -sinv, sinv)
+    cosv = np.where((quadrant > 0) & (quadrant < 3), -cosv, cosv)
+    carrier = jnp.asarray(cosv + 1j * sinv, dtype=jnp.complex64)
+    nxt = float((starting_phase + delta * n) % (2.0 * np.pi))
+    return jnp.asarray(x) * carrier, nxt
 
 
 @dataclasses.dataclass
 class ShiftAddfastData:
-    """ALGO C state (pf_mixer.h:95-104)."""
+    """ALGO C state (pf_mixer.h:95-104): f32 rotators for 1..4 steps."""
 
     rate: float
+    dcos: np.ndarray  # [4] cos((j+1)*D), f32
+    dsin: np.ndarray
 
 
 def shift_addfast_init(rate: float) -> ShiftAddfastData:
-    return ShiftAddfastData(rate=rate)
+    d = 2.0 * np.pi * float(rate)
+    j = np.arange(1, 5, dtype=np.float64)
+    return ShiftAddfastData(
+        rate=float(rate),
+        dcos=np.cos(j * d).astype(np.float32),
+        dsin=np.sin(j * d).astype(np.float32),
+    )
+
+
+def _blocked_phasor_carrier(n, start_c, start_s, dcos, dsin, block, renorm):
+    """Carrier of the C/E family: within a block of ``block`` samples the
+    phasor start is fixed and sample j uses start*rot[j]; the start advances
+    by rot[block-1] each block (f32 products, honest drift), optionally
+    renormalized per block (ALGO E)."""
+
+    nb = n // block
+    rot_c = jnp.asarray(dcos)  # [block] rotators for 1..block steps
+    rot_s = jnp.asarray(dsin)
+
+    def body(carry, _):
+        c, s = carry
+        vc = c * rot_c - s * rot_s  # start * rot[j+1], j = 0..block-1
+        vs = s * rot_c + c * rot_s
+        nc, ns = vc[-1], vs[-1]
+        if renorm:
+            mag = jnp.sqrt(nc * nc + ns * ns)
+            nc, ns = nc / mag, ns / mag
+        return (nc, ns), (vc, vs)
+
+    (fc, fs), (vc, vs) = jax.lax.scan(
+        body, (jnp.float32(start_c), jnp.float32(start_s)), None, length=nb
+    )
+    return vc.reshape(-1), vs.reshape(-1), fc, fs
 
 
 def shift_addfast_cc(x, d: ShiftAddfastData, starting_phase: float = 0.0):
-    """ALGO C parity (4-step unrolled incremental phasor in C)."""
+    """ALGO C parity (pf_mixer.cpp:252-281): 4-step unrolled incremental
+    phasor, no renormalization; sample k carries phase phi0 + (k+1)*D
+    (the reference family's one-sample offset, see module notes)."""
 
-    return _shift_once(x, d.rate, starting_phase)
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n % 4:
+        raise ValueError("ALGO C requires input_size % 4 == 0 (pf_mixer.cpp:254)")
+    vc, vs, _, _ = _blocked_phasor_carrier(
+        n, np.cos(starting_phase), np.sin(starting_phase), d.dcos, d.dsin, 4, False
+    )
+    out = x * jax.lax.complex(vc, vs)
+    delta = 2.0 * np.pi * d.rate
+    nxt = float(starting_phase + n * delta)
+    while nxt > np.pi:
+        nxt -= 2 * np.pi
+    while nxt < -np.pi:
+        nxt += 2 * np.pi
+    return out, nxt
 
 
 @dataclasses.dataclass
 class ShiftUnrollData:
-    """ALGO D state (pf_mixer.h:113-124)."""
+    """ALGO D state (pf_mixer.h:113-124): full-length rotator table."""
 
     rate: float
     size: int
+    dcos: np.ndarray  # [size] cos of wrapped (k+1)*D, f32
+    dsin: np.ndarray
 
 
 def shift_unroll_init(rate: float, size: int) -> ShiftUnrollData:
-    return ShiftUnrollData(rate=rate, size=size)
+    d = 2.0 * np.pi * float(rate)
+    ph = (np.arange(1, size + 1, dtype=np.float64) * d + np.pi) % (2 * np.pi) - np.pi
+    return ShiftUnrollData(
+        rate=float(rate),
+        size=int(size),
+        dcos=np.cos(ph).astype(np.float32),
+        dsin=np.sin(ph).astype(np.float32),
+    )
 
 
 def shift_unroll_cc(x, d: ShiftUnrollData, starting_phase: float = 0.0):
-    """ALGO D parity (fully precomputed dcos/dsin table in C)."""
+    """ALGO D parity (pf_mixer.cpp:333-380): carrier = start phasor times
+    the precomputed f32 rotator table (phase (k+1)*D, wrapped at init)."""
 
-    return _shift_once(x, d.rate, starting_phase)
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n > d.size:
+        raise ValueError(f"ALGO D table holds {d.size} samples, got {n}")
+    c0, s0 = np.float32(np.cos(starting_phase)), np.float32(np.sin(starting_phase))
+    rc = jnp.asarray(d.dcos[:n])
+    rs = jnp.asarray(d.dsin[:n])
+    vc = c0 * rc - s0 * rs
+    vs = s0 * rc + c0 * rs
+    out = x * jax.lax.complex(vc, vs)
+    delta = 2.0 * np.pi * d.rate
+    nxt = float(starting_phase + n * delta)
+    while nxt > np.pi:
+        nxt -= 2 * np.pi
+    while nxt < -np.pi:
+        nxt += 2 * np.pi
+    return out, nxt
+
+
+_LIMITED_UNROLL_SIZE = 128  # PF_SHIFT_LIMITED_UNROLL_SIZE (pf_mixer.h:137)
 
 
 class ShiftLimitedUnrollState:
-    """ALGO E/F/G/H state: carries phase internally (pf_mixer.h:140-152:
-    'starting_phase for next call is kept internal in state')."""
+    """ALGO E/F/G/H state (pf_mixer.h:140-152): 128-entry rotator table and
+    an internal complex phasor renormalized once per 128-sample block."""
 
     def __init__(self, rate: float, starting_phase: float = 0.0):
-        self.mixer = Mixer(rate, starting_phase)
+        d = 2.0 * np.pi * float(rate)
+        k = np.arange(1, _LIMITED_UNROLL_SIZE + 1, dtype=np.float64)
+        ph = (k * d + np.pi) % (2 * np.pi) - np.pi
+        self.dcos = np.cos(ph).astype(np.float32)
+        self.dsin = np.sin(ph).astype(np.float32)
+        self.phasor = (np.float32(np.cos(starting_phase)), np.float32(np.sin(starting_phase)))
 
 
 def shift_limited_unroll_init(rate: float, starting_phase: float = 0.0) -> ShiftLimitedUnrollState:
@@ -247,12 +372,33 @@ def shift_limited_unroll_init(rate: float, starting_phase: float = 0.0) -> Shift
 
 
 def shift_limited_unroll_cc(x, d: ShiftLimitedUnrollState):
-    """ALGO E-H parity: phase state lives in ``d``; returns output only."""
+    """ALGO E parity: blocked phasor carrier with per-block sqrt
+    renormalization; phase state carried inside ``d`` (the C struct's
+    complex_phase), output only is returned."""
 
-    return d.mixer.shift(x)
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n % _LIMITED_UNROLL_SIZE:
+        raise ValueError(
+            f"ALGO E processes multiples of {_LIMITED_UNROLL_SIZE} samples"
+        )
+    c0, s0 = d.phasor
+    vc, vs, fc, fs = _blocked_phasor_carrier(
+        n, c0, s0, d.dcos, d.dsin, _LIMITED_UNROLL_SIZE, True
+    )
+    # C carry semantics: sample i uses the phasor BEFORE its update —
+    # carrier[i] = start*rot[i-1] with carrier[0] = start; the stored state
+    # is the final block's renormalized carry.
+    vc = jnp.concatenate([jnp.asarray([c0], jnp.float32), vc[:-1]])
+    vs = jnp.concatenate([jnp.asarray([s0], jnp.float32), vs[:-1]])
+    out = x * jax.lax.complex(vc, vs)
+    d.phasor = (np.float32(fc), np.float32(fs))
+    return out
 
 
-# SSE variants map to the same kernel
+# F/G/H are the SSE table organizations of ALGO E (separate / shared /
+# interleaved trig tables, pf_mixer.cpp:560-631) — identical semantics on
+# a vector machine, so they share the implementation.
 shift_limited_unroll_A_sse_init = shift_limited_unroll_init
 shift_limited_unroll_B_sse_init = shift_limited_unroll_init
 shift_limited_unroll_C_sse_init = shift_limited_unroll_init
@@ -261,17 +407,33 @@ shift_limited_unroll_B_sse_inp_c = shift_limited_unroll_cc
 shift_limited_unroll_C_sse_inp_c = shift_limited_unroll_cc
 
 
-class ShiftRecursiveOscState:
-    """ALGO I/J parity (Vicanek QuadOsc, pf_mixer.h:234-280).
+_RECURSIVE_SIMD_SZ = 8  # PF_SHIFT_RECURSIVE_SIMD_SZ (pf_mixer.h:237)
 
-    The C recursion u' = u - k1*v; v' = v + k2*u' is an exact rotation by
-    omega with k1 = tan(omega/2), k2 = sin(omega); the integer NCO computes
-    the same rotation without error accumulation, so the state here is just
-    the oscillator angle.
-    """
+
+class ShiftRecursiveOscState:
+    """ALGO I/J state (pf_mixer.h:234-280): 8 staggered Vicanek QuadOsc
+    lanes u/v plus the 8-step recursion constants k1 = tan(4*D),
+    k2 = 2 k1/(1+k1^2) (pf_mixer.cpp shift_recursive_osc_update_rate)."""
 
     def __init__(self, rate: float = 0.0, starting_phase: float = 0.0):
-        self.mixer = Mixer(rate, starting_phase)
+        self.rate = float(rate)
+        u = np.empty(_RECURSIVE_SIMD_SZ, np.float32)
+        v = np.empty(_RECURSIVE_SIMD_SZ, np.float32)
+        u[0] = np.cos(starting_phase)
+        v[0] = np.sin(starting_phase)
+        d = 2.0 * np.pi * float(rate)
+        k1s = np.float32(np.tan(0.5 * d))
+        k2s = np.float32(2 * k1s / (1 + k1s * k1s))
+        for j in range(1, _RECURSIVE_SIMD_SZ):
+            tmp = u[j - 1] - k1s * v[j - 1]
+            v[j] = v[j - 1] + k2s * tmp
+            u[j] = tmp - k1s * v[j]
+        self.u = u
+        self.v = v
+        db = d * _RECURSIVE_SIMD_SZ
+        db = (db + np.pi) % (2 * np.pi) - np.pi
+        self.k1 = np.float32(np.tan(0.5 * db))
+        self.k2 = np.float32(2 * self.k1 / (1 + self.k1 * self.k1))
 
 
 def shift_recursive_osc_init(rate: float, starting_phase: float = 0.0) -> ShiftRecursiveOscState:
@@ -279,17 +441,58 @@ def shift_recursive_osc_init(rate: float, starting_phase: float = 0.0) -> ShiftR
 
 
 def shift_recursive_osc_update_rate(rate: float, state: ShiftRecursiveOscState) -> None:
-    ph = state.mixer.phase
-    state.mixer = Mixer(rate, ph)
+    """Re-derive the recursion constants at the current phase (the C
+    update_rate semantics: lane 0 keeps its phasor)."""
+
+    ph = float(np.arctan2(state.v[0], state.u[0]))
+    fresh = ShiftRecursiveOscState(rate, ph)
+    state.__dict__.update(fresh.__dict__)
+
+
+def _recursive_osc_carrier(state: ShiftRecursiveOscState, nblocks: int):
+    k1 = jnp.float32(state.k1)
+    k2 = jnp.float32(state.k2)
+
+    def body(carry, _):
+        u, v = carry
+        tmp = u - k1 * v
+        v2 = v + k2 * tmp
+        u2 = tmp - k1 * v2
+        return (u2, v2), carry
+
+    (u_f, v_f), (us, vs) = jax.lax.scan(
+        body, (jnp.asarray(state.u), jnp.asarray(state.v)), None, length=nblocks
+    )
+    return us.reshape(-1), vs.reshape(-1), u_f, v_f
 
 
 def shift_recursive_osc_cc(x, state: ShiftRecursiveOscState):
-    """ALGO I parity: shift using the oscillator state."""
+    """ALGO I parity: multiply by the 8-lane magic-circle oscillator; the
+    recursion (not trig) generates the carrier, with f32 drift exactly as
+    sequential as the reference's."""
 
-    return state.mixer.shift(x)
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n % _RECURSIVE_SIMD_SZ:
+        raise ValueError(f"ALGO I processes multiples of {_RECURSIVE_SIMD_SZ} samples")
+    us, vs, u_f, v_f = _recursive_osc_carrier(state, n // _RECURSIVE_SIMD_SZ)
+    out = x * jax.lax.complex(us, vs)
+    state.u = np.asarray(u_f)
+    state.v = np.asarray(v_f)
+    return out
 
 
 def gen_recursive_osc_c(n: int, state: ShiftRecursiveOscState):
-    """Generate n oscillator samples (pf_mixer.h:257)."""
+    """Generate n oscillator samples (pf_mixer.h:257) via the recursion."""
 
-    return state.mixer.carrier(n)
+    if n % _RECURSIVE_SIMD_SZ:
+        raise ValueError(f"ALGO I generates multiples of {_RECURSIVE_SIMD_SZ} samples")
+    us, vs, u_f, v_f = _recursive_osc_carrier(state, n // _RECURSIVE_SIMD_SZ)
+    state.u = np.asarray(u_f)
+    state.v = np.asarray(v_f)
+    return jax.lax.complex(us, vs)
+
+
+# J is the SSE 4-lane variant of I (pf_mixer.h:262-280) — same recursion.
+shift_recursive_quadrature_osc_init = shift_recursive_osc_init
+shift_recursive_quadrature_osc_cc = shift_recursive_osc_cc

@@ -70,35 +70,57 @@ def test_mixer_snr():
 
 
 def test_mixer_parity_wrappers():
-    x = (RNG.standard_normal(256) + 1j * RNG.standard_normal(256)).astype(np.complex64)
+    """Each ALGO reproduces its own reference numerics (pf_mixer.cpp):
+    A is the exact NCO at phase k*D; C/D carry the family's one-sample
+    offset ((k+1)*D); B is table-quantized; E renormalizes per 128 block;
+    I runs the magic-circle recursion.  See dsp/mixer.py module notes."""
+
+    n = 256
+    x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(np.complex64)
     rate = 0.05
-    ref, _ = dsp.shift_math_cc(jnp.asarray(x), rate, 0.0)
-    ref = np.asarray(ref)
+    d_ = 2 * np.pi * rate
+    k = np.arange(n)
+
+    ref_a = np.asarray(x) * np.exp(1j * d_ * k)           # phase k*D
+    ref_c = np.asarray(x) * np.exp(1j * d_ * (k + 1))     # phase (k+1)*D
+
+    out, nxt = dsp.shift_math_cc(jnp.asarray(x), rate, 0.0)
+    np.testing.assert_allclose(np.asarray(out), ref_a, atol=1e-5)
+    assert abs((nxt - (d_ * n) % (2 * np.pi))) < 1e-3
 
     td = dsp.shift_table_init(65536)
     out, _ = dsp.shift_table_cc(jnp.asarray(x), rate, td, 0.0)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref_a, atol=3e-4)  # table quantization
 
     d = dsp.shift_addfast_init(rate)
-    out, _ = dsp.shift_addfast_cc(jnp.asarray(x), d, 0.0)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+    out, nxt = dsp.shift_addfast_cc(jnp.asarray(x), d, 0.0)
+    np.testing.assert_allclose(np.asarray(out), ref_c, atol=2e-4)
 
     du = dsp.shift_unroll_init(rate, 256)
     out, _ = dsp.shift_unroll_cc(jnp.asarray(x), du, 0.0)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref_c, atol=2e-5)
+    with pytest.raises(ValueError):
+        dsp.shift_unroll_cc(jnp.asarray(np.zeros(512, np.complex64)), du)
 
     dl = dsp.shift_limited_unroll_init(rate)
     out = dsp.shift_limited_unroll_cc(jnp.asarray(x), dl)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref_a, atol=2e-4)
+    # streaming continuity: two chunks == one call
+    dl2 = dsp.shift_limited_unroll_init(rate)
+    o1 = dsp.shift_limited_unroll_cc(jnp.asarray(x[:128]), dl2)
+    o2 = dsp.shift_limited_unroll_cc(jnp.asarray(x[128:]), dl2)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(o1), np.asarray(o2)]), np.asarray(out), atol=2e-5
+    )
 
     ro = dsp.shift_recursive_osc_init(rate, 0.0)
     out = dsp.shift_recursive_osc_cc(jnp.asarray(x), ro)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref_a, atol=5e-4)  # recursion drift
 
     ro2 = dsp.shift_recursive_osc_init(rate, 0.25)
     car = np.asarray(dsp.gen_recursive_osc_c(128, ro2))
     np.testing.assert_allclose(
-        car, np.exp(1j * (0.25 + 2 * np.pi * rate * np.arange(128))), atol=1e-5
+        car, np.exp(1j * (0.25 + d_ * np.arange(128))), atol=5e-4
     )
 
     assert dsp.have_sse_shift_mixer_impl()
