@@ -219,6 +219,7 @@ def main():
                        bw_artifact=bool(sol > 1.0),
                        trials=trials, spread=round(spread, 3),
                        prep_ms=round(prep_ms, 2),
+                       compile_s=round(max(compile_s, 0.0), 2),
                        factors=str(plan.factors))
             if tu is not None:
                 row["gflops_unordered"] = round(mf * batch / tu / 1e9, 1)
