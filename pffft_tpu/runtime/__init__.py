@@ -23,7 +23,11 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["HAVE_NATIVE", "load", "native_planner", "StreamFramer"]
+__all__ = [
+    "HAVE_NATIVE", "load", "native_planner", "StreamFramer",
+    "convert_s16_f32", "convert_cs16_planar_f32", "convert_cu8_planar_f32",
+    "convert_planar_f32_cs16",
+]
 
 _DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO = os.path.join(_DIR, "libpffft_tpu_native.so")
@@ -87,6 +91,12 @@ def load() -> Optional[ctypes.CDLL]:
         lib.pftpu_ring_read_frames.argtypes = [ctypes.c_void_p, f32p, u64, u64, u64]
         lib.pftpu_ring_flush_frame.restype = u64
         lib.pftpu_ring_flush_frame.argtypes = [ctypes.c_void_p, f32p, u64]
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.pftpu_convert_s16_f32.argtypes = [i16p, f32p, u64]
+        lib.pftpu_convert_cs16_planar_f32.argtypes = [i16p, f32p, f32p, u64]
+        lib.pftpu_convert_cu8_planar_f32.argtypes = [u8p, f32p, f32p, u64]
+        lib.pftpu_convert_planar_f32_cs16.argtypes = [f32p, f32p, i16p, u64]
         _lib = lib
         return _lib
 
@@ -260,3 +270,91 @@ class StreamFramer:
         if lib is not None and ring:
             lib.pftpu_ring_free(ring)
             self._ring = None
+
+# ---------------------------------------------------------------------------
+# Sample-format converters (native single-pass loops with numpy fallbacks)
+#
+# The host-side IO layer of the DSP chain: SDR byte formats -> the planar
+# f32 the TPU engine consumes (reference formats: cicddc_s16/cs16/cu8,
+# /root/reference/src/pf_cic.cpp:87-252; DIRECT_* copy-avoidance,
+# pffastconv.h:104-118).
+# ---------------------------------------------------------------------------
+
+
+def convert_s16_f32(x) -> np.ndarray:
+    """int16 samples -> float32 scaled by 1/32768."""
+
+    x = np.ascontiguousarray(x, dtype=np.int16)
+    out = np.empty(x.size, dtype=np.float32)
+    lib = load()
+    if lib is not None:
+        lib.pftpu_convert_s16_f32(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            x.size,
+        )
+        return out.reshape(x.shape)
+    return (x.astype(np.float32) / np.float32(32768.0)).reshape(x.shape)
+
+
+def convert_cs16_planar_f32(x) -> Tuple[np.ndarray, np.ndarray]:
+    """Interleaved int16 IQ [2n] -> planar (re, im) float32, 1/32768."""
+
+    x = np.ascontiguousarray(x, dtype=np.int16).ravel()
+    n = x.size // 2
+    re = np.empty(n, dtype=np.float32)
+    im = np.empty(n, dtype=np.float32)
+    lib = load()
+    if lib is not None:
+        lib.pftpu_convert_cs16_planar_f32(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n,
+        )
+        return re, im
+    f = x.astype(np.float32) / np.float32(32768.0)
+    return np.ascontiguousarray(f[0::2]), np.ascontiguousarray(f[1::2])
+
+
+def convert_cu8_planar_f32(x) -> Tuple[np.ndarray, np.ndarray]:
+    """Interleaved offset-binary uint8 IQ -> planar float32 (x-127.4)/128
+    (the reference's cu8 midpoint, pf_cic.cpp)."""
+
+    x = np.ascontiguousarray(x, dtype=np.uint8).ravel()
+    n = x.size // 2
+    re = np.empty(n, dtype=np.float32)
+    im = np.empty(n, dtype=np.float32)
+    lib = load()
+    if lib is not None:
+        lib.pftpu_convert_cu8_planar_f32(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n,
+        )
+        return re, im
+    f = (x.astype(np.float32) - np.float32(127.4)) / np.float32(128.0)
+    return np.ascontiguousarray(f[0::2]), np.ascontiguousarray(f[1::2])
+
+
+def convert_planar_f32_cs16(re, im) -> np.ndarray:
+    """Planar float32 -> interleaved int16 IQ with saturation, scale 32767."""
+
+    re = np.ascontiguousarray(re, dtype=np.float32).ravel()
+    im = np.ascontiguousarray(im, dtype=np.float32).ravel()
+    n = re.size
+    out = np.empty(2 * n, dtype=np.int16)
+    lib = load()
+    if lib is not None:
+        lib.pftpu_convert_planar_f32_cs16(
+            re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            n,
+        )
+        return out
+    z = np.empty(2 * n, dtype=np.float32)
+    z[0::2] = re * 32767.0
+    z[1::2] = im * 32767.0
+    return np.clip(z, -32768.0, 32767.0).astype(np.int16)

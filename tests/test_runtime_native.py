@@ -109,3 +109,41 @@ def test_plan_uses_native_twiddles():
     got = np.asarray(pf.transform_ordered(plan, jnp.asarray(x), pf.FORWARD))
     ref = oracle.packed_spectrum(x)
     assert np.abs(got - ref).max() < 1e-3 * np.abs(ref).max()
+
+
+def test_format_converters_native_vs_numpy():
+    """Native single-pass converters == numpy reference, all four formats;
+    runs on both the native and fallback paths (PFFFT_TPU_NO_NATIVE axis)."""
+
+    from pffft_tpu import runtime as rt
+
+    rng = np.random.default_rng(0)
+    s16 = rng.integers(-32768, 32768, 4096, dtype=np.int16)
+    np.testing.assert_allclose(
+        rt.convert_s16_f32(s16), s16.astype(np.float32) / 32768.0, rtol=0, atol=0
+    )
+
+    cs16 = rng.integers(-32768, 32768, 8192, dtype=np.int16)
+    re, im = rt.convert_cs16_planar_f32(cs16)
+    np.testing.assert_array_equal(re, cs16.astype(np.float32)[0::2] / 32768.0)
+    np.testing.assert_array_equal(im, cs16.astype(np.float32)[1::2] / 32768.0)
+
+    cu8 = rng.integers(0, 256, 8192, dtype=np.uint8)
+    re, im = rt.convert_cu8_planar_f32(cu8)
+    ref = (cu8.astype(np.float32) - np.float32(127.4)) / np.float32(128.0)
+    np.testing.assert_allclose(re, ref[0::2], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(im, ref[1::2], rtol=0, atol=1e-6)
+
+    # roundtrip through the saturating packer
+    fr = rng.standard_normal(2048).astype(np.float32) * 0.5
+    fi = rng.standard_normal(2048).astype(np.float32) * 0.5
+    packed = rt.convert_planar_f32_cs16(fr, fi)
+    assert packed.dtype == np.int16 and packed.size == 4096
+    np.testing.assert_allclose(
+        packed[0::2].astype(np.float32) / 32767.0,
+        np.clip(fr, -32768.0 / 32767.0, 1.0),  # saturated samples clamp
+        atol=1.0 / 32767,
+    )
+    # saturation clamps instead of wrapping
+    big = rt.convert_planar_f32_cs16(np.array([2.0], np.float32), np.array([-2.0], np.float32))
+    assert big[0] == 32767 and big[1] == -32768
