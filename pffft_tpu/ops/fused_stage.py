@@ -13,11 +13,14 @@ This is the MXU-scale analog of the reference's fused finalize pass
 radix-4 combine in registers, one memory pass); the radix<=5 VPU kernel in
 pallas_fft.py plays the same role for thin-stage plans.
 
-Complex arithmetic uses Gauss's 3-multiplication product (see
-ops/split.py:cmul_mode): per stage three HIGHEST-precision real matmuls
-k1=(ar+ai)Wr, k2=ar(Wi-Wr), k3=ai(Wr+Wi) — 25% less MXU work than the
-textbook four.  The in-kernel transposes between stages are VMEM-local
-(sublane/lane transposes), never HBM passes.
+Complex arithmetic per stage is ONE real matmul over lane-concatenated
+planes: [ar | ai] (M, 2r) @ [[Wr, Wi], [-Wi, Wr]] (2r, 2r) -> [nr | ni].
+For r = 64 this is a K=128 contraction that exactly fills the MXU.  (The
+Gauss 3-matmul form the XLA path uses, ops/split.py:cmul_mode, reliably
+crashes the Mosaic remote compiler at r=64 in several variants —
+isolated by scripts/r2 probes — so the kernel uses the concat form; its
+extra MXU work is the price of single-pass HBM traffic.)  The in-kernel
+transposes between stages are VMEM-local, never HBM passes.
 
 Layout contract (bit-matched to ops/split.py:cfft_stages_split, verified by
 tests/test_fused_stage.py):
@@ -58,16 +61,19 @@ def supported(plan: _plan.Plan) -> bool:
 
 
 def _mm(a, w):
-    return jnp.dot(a, w, precision=_PREC, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        a, w, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=_PREC, preferred_element_type=jnp.float32,
+    )
 
 
-def _gauss_mm(ar, ai, wr, wsum, wdiff):
-    """(ar + i*ai) @ (W) via Gauss's three real matmuls."""
+def _cstage_mm(ar, ai, b):
+    """(ar + i*ai) @ W as one lane-concat real matmul against
+    B = [[Wr, Wi], [-Wi, Wr]]; returns the planar halves."""
 
-    k1 = _mm(ar + ai, wr)
-    k2 = _mm(ar, wdiff)
-    k3 = _mm(ai, wsum)
-    return k1 - k3, k1 + k2
+    r = ar.shape[-1]
+    z = _mm(jnp.concatenate([ar, ai], axis=-1), b)
+    return z[..., :r], z[..., r:]
 
 
 def _make_kernel(n1: int, n2: int, ordered: bool):
@@ -76,9 +82,7 @@ def _make_kernel(n1: int, n2: int, ordered: bool):
     swapaxes of the minor two dims plus last-axis matmuls."""
 
     def kernel(
-        w1r_ref, w1s_ref, w1d_ref,
-        twr_ref, twi_ref,
-        w2r_ref, w2s_ref, w2d_ref,
+        b1_ref, twr_ref, twi_ref, b2_ref,
         re_ref, im_ref, or_ref, oi_ref,
     ):
         xr = re_ref[:]  # (tb, j1, j2)
@@ -86,7 +90,7 @@ def _make_kernel(n1: int, n2: int, ordered: bool):
         # stage 1 contracts j1: transpose minor dims, matmul the last axis
         xr = jnp.swapaxes(xr, 1, 2)  # (tb, j2, j1)
         xi = jnp.swapaxes(xi, 1, 2)
-        yr, yi = _gauss_mm(xr, xi, w1r_ref[:], w1s_ref[:], w1d_ref[:])
+        yr, yi = _cstage_mm(xr, xi, b1_ref[:])
         # four-step twiddle at the current [j2, k1] layout (tables pre-transposed)
         twr = twr_ref[:]
         twi = twi_ref[:]
@@ -94,7 +98,7 @@ def _make_kernel(n1: int, n2: int, ordered: bool):
         # stage 2 contracts j2: transpose back -> (tb, k1, j2)
         yr = jnp.swapaxes(yr, 1, 2)
         yi = jnp.swapaxes(yi, 1, 2)
-        zr, zi = _gauss_mm(yr, yi, w2r_ref[:], w2s_ref[:], w2d_ref[:])
+        zr, zi = _cstage_mm(yr, yi, b2_ref[:])
         if ordered:  # (b, k1, k2) -> (b, k2, k1): k = k1 + n1*k2 canonical
             zr = jnp.swapaxes(zr, 1, 2)
             zi = jnp.swapaxes(zi, 1, 2)
@@ -106,17 +110,17 @@ def _make_kernel(n1: int, n2: int, ordered: bool):
 
 @functools.lru_cache(maxsize=256)
 def _tables(plan: _plan.Plan, backward: bool):
-    """Host-side Gauss-precombined stage matrices + transposed twiddle."""
+    """Host-side concat stage matrices + transposed twiddle."""
 
     st1, st2 = [st for st in plan.stages if st.r > 1]
 
-    def gauss_triple(dft):
-        dr = np.ascontiguousarray(dft.real, dtype=np.float32)
-        di = dft.imag
-        return (
-            dr,
-            np.ascontiguousarray(dft.real + di, dtype=np.float32),
-            np.ascontiguousarray(di - dft.real, dtype=np.float32),
+    def concat_matrix(dft):
+        wr = dft.real
+        wi = dft.imag
+        top = np.concatenate([wr, wi], axis=1)
+        bot = np.concatenate([-wi, wr], axis=1)
+        return np.ascontiguousarray(
+            np.concatenate([top, bot], axis=0), dtype=np.float32
         )
 
     d1 = np.conj(st1.dft) if backward else st1.dft
@@ -124,10 +128,10 @@ def _tables(plan: _plan.Plan, backward: bool):
     tw = np.conj(st2.twiddle) if backward else st2.twiddle  # [l=n1, r=n2]
     twt = tw.T  # kernel layout [j2, k1]
     return (
-        *gauss_triple(d1),
+        concat_matrix(d1),
         np.ascontiguousarray(twt.real, dtype=np.float32),
         np.ascontiguousarray(twt.imag, dtype=np.float32),
-        *gauss_triple(d2),
+        concat_matrix(d2),
     )
 
 
@@ -152,9 +156,9 @@ def _build(plan: _plan.Plan, backward: bool, ordered: bool, tb: int, interpret: 
             jax.ShapeDtypeStruct((b, *oshape), jnp.float32),
             jax.ShapeDtypeStruct((b, *oshape), jnp.float32),
         ]
-        # 6 HIGHEST matmuls = 6*6 bf16 passes of M*K*N MACs; bytes = 1 read
-        # + 1 write of both planes
-        flops = int(2 * 6 * 6 * b * n * max(n1, n2))
+        # 2 concat matmuls (2r x 2r) at HIGHEST = 6 bf16 passes each;
+        # bytes = 1 read + 1 write of both planes
+        flops = int(2 * 6 * 2 * b * n * 2 * max(n1, n2) * 2)
         zr, zi = pl.pallas_call(
             kernel,
             grid=(b // tb,),
