@@ -5,25 +5,31 @@ SIMD headers, link-time multi-arch libraries with a runtime dispatcher
 (benchmarks/pf_conv_dispatcher.cpp:18-60), and gcc target_clones ifunc
 (src/fmv.h).  The TPU analog is a plan-time registry choosing between
 
-  * ``xla``    — the split-format stage engine (ops/split.py), with the
-    backend-tuned stage policy (plan.default_max_factor); the default.
-  * ``pallas`` — the fused all-stages-in-VMEM radix kernel
-    (ops/pallas_fft.py), usable when the plan's factors are all <= 5, the
-    batch is tile-aligned and the block fits VMEM.
+  * ``xla``    — the split-format stage engine (ops/split.py) with the
+    backend-tuned stage policy (plan.default_max_factor) and Gauss
+    3-matmul contractions (ops/split.py:cmul_mode); the default.
+  * ``fused2`` — the fused two-stage MXU kernel (ops/fused_stage.py):
+    whole transform in one VMEM pass, lane-concat stage matmuls; covers
+    the production two-fat-stage plans, batch-major, B % TB == 0.
+  * ``pallas`` — the radix<=5 VPU butterfly kernel (ops/pallas_fft.py),
+    time-major; covers thin-stage (CPU-policy) plans only.
 
-Measured guidance on TPU v5e (see benchmarks/, commit history): the MXU
-fat-stage XLA path is fastest for the supported range, so it is the
-default everywhere; the registry exists so future kernels (and users, via
-``set_engine``) can reroute without touching call sites.
+Measured guidance on TPU v5e (scripts/r2_perf*.py, benchmarks/results/):
+the XLA Gauss path reaches 0.98 SoL at the N=4096 headline and is the
+measured default; the registry exists so kernels can be forced
+(``set_engine`` / PFFFT_TPU_ENGINE) and so a future measured table can
+reroute without touching call sites.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 
 from .. import plan as _plan
+from . import fused_stage as _fs
 from . import pallas_fft as _pk
 from . import split as _split
 
@@ -31,12 +37,20 @@ __all__ = ["available_engines", "select_engine", "set_engine", "cfft_dispatch"]
 
 _FORCED: Optional[str] = None
 
-# VMEM budget for the fused kernel block (bytes); beyond it Mosaic OOMs.
+# VMEM budget for the fused kernels' block (bytes); beyond it Mosaic OOMs.
 _PALLAS_VMEM_BUDGET = 12 << 20
 
 
 def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[str, ...]:
     out = ["xla"]
+    if (
+        _fs.supported(plan)
+        and not time_major
+        and batch % _fs.DEFAULT_TB == 0
+        # in + out + ~2 live intermediates per plane pair
+        and 8 * plan.engine_n * _fs.DEFAULT_TB * 4 <= _PALLAS_VMEM_BUDGET
+    ):
+        out.append("fused2")
     if (
         _pk.supported(plan)
         and time_major
@@ -49,24 +63,27 @@ def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[s
 
 
 def set_engine(name: Optional[str]) -> None:
-    """Force an engine globally ('xla', 'pallas', or None for auto)."""
+    """Force an engine globally ('xla', 'fused2', 'pallas', or None)."""
 
     global _FORCED
-    if name not in (None, "xla", "pallas"):
+    if name not in (None, "xla", "fused2", "pallas"):
         raise ValueError(f"unknown engine {name!r}")
     _FORCED = name
 
 
 def select_engine(plan: _plan.Plan, batch: int, time_major: bool) -> str:
     avail = available_engines(plan, batch, time_major)
-    if _FORCED is not None:
-        if _FORCED not in avail:
+    forced = _FORCED or os.environ.get("PFFFT_TPU_ENGINE") or None
+    if forced is not None:
+        if forced not in avail:
             raise ValueError(
-                f"forced engine {_FORCED!r} unavailable for plan {plan} "
+                f"forced engine {forced!r} unavailable for plan {plan} "
                 f"(batch={batch}, time_major={time_major}); available: {avail}"
             )
-        return _FORCED
-    # measured default: the MXU fat-stage XLA path wins on current hardware
+        return forced
+    # measured default: the XLA Gauss fat-stage path wins on current
+    # hardware (0.98 SoL at N=4096, scripts/r2_perf1.py; the fused kernel's
+    # concat matmuls cost 4/3 the MXU work — see benchmarks/results/)
     return "xla"
 
 
@@ -80,14 +97,24 @@ def cfft_dispatch(
 ):
     """Complex FFT through the selected engine (split format).
 
-    time_major: planes are [N, B] (the fused kernel's native layout);
+    time_major: planes are [N, B] (the VPU kernel's native layout);
     otherwise [..., N].
     """
 
     batch = re.shape[-1] if time_major else int(re.size // re.shape[-1])
     engine = select_engine(plan, batch, time_major)
+    # Mosaic only compiles on TPU; elsewhere the kernels run interpreted
+    interp = jax.default_backend() != "tpu"
     if engine == "pallas":
-        return _pk.cfft_pallas_tmajor(plan, re, im, backward=backward)
+        return _pk.cfft_pallas_tmajor(plan, re, im, backward=backward, interpret=interp)
+    if engine == "fused2":
+        lead = re.shape[:-1]
+        n = re.shape[-1]
+        rr, ii = _fs.cfft_fused2(
+            plan, re.reshape(-1, n), im.reshape(-1, n),
+            backward=backward, ordered=True, interpret=interp,
+        )
+        return rr.reshape(*lead, n), ii.reshape(*lead, n)
     if time_major:
         rr, ii = _split.cfft_plan_split(plan, re.T, im.T, backward=backward, ordered=True)
         return rr.T, ii.T

@@ -218,17 +218,17 @@ def test_large_filter_matches_fft_oracle(filter_len):
     x = rng.standard_normal(n).astype(np.float32)
     s = pfc.FastConv(h)
     y, consumed = s.apply(jnp.asarray(x), flush=True)
-    ref = scipy_signal.fftconvolve(
-        x.astype(np.float64), h.astype(np.float64), mode="full"
-    )[: n]  # overlap-save 'valid-from-start' segment incl. flushed tail
+    # output-length contract (pffastconv flush semantics, mirrored from the
+    # small-filter tests): valid-mode output, one sample per fully-covered
+    # position
+    assert consumed == n - filter_len + 1
     got = np.asarray(y)
-    # output-length contract: flush=True emits one sample per input sample
-    # minus nothing (zero-padded tail), exactly n outputs of the full conv
-    assert consumed == n
-    assert got.shape[0] >= n - filter_len + 1
-    m = min(got.shape[0], n)
+    assert got.shape[0] == consumed
+    ref = scipy_signal.fftconvolve(
+        x.astype(np.float64), h.astype(np.float64), mode="valid"
+    )
     scale = np.abs(ref).max()
-    assert np.abs(got[:m] - ref[:m]).max() < 5e-4 * scale
+    assert np.abs(got - ref[:consumed]).max() < 5e-4 * scale
 
 
 @pytest.mark.slow
