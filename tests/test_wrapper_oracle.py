@@ -144,14 +144,17 @@ def test_oracle_dct_dst_definitions(n):
     # DST-I definition
     refs = 2 * (x * np.sin(np.pi * (j + 1) * (k + 1) / (n + 1))).sum(-1)
     np.testing.assert_allclose(oracle.sint(x), refs, atol=1e-9)
-    # DCT-II definition and the II/III inverse pair
+    # DCT-II definition; FFTPACK cosqb carries a factor 4 (fftpack.h:
+    # x(i) = sum 4*x(k)*cos(...)), i.e. cosqb = 2 * DCT-II, roundtrip 4n
     ref2 = 2 * (x * np.cos(np.pi * k * (2 * j + 1) / (2 * n))).sum(-1)
-    np.testing.assert_allclose(oracle.cosqb(x), ref2, atol=1e-9)
-    np.testing.assert_allclose(oracle.cosqf(oracle.cosqb(x)) / (2.0 * n), x, atol=1e-9)
-    # DST-II definition and the II/III inverse pair
+    np.testing.assert_allclose(oracle.dct2(x), ref2, atol=1e-9)
+    np.testing.assert_allclose(oracle.cosqb(x), 2 * ref2, atol=1e-9)
+    np.testing.assert_allclose(oracle.cosqf(oracle.cosqb(x)) / (4.0 * n), x, atol=1e-9)
+    # DST-II definition and the FFTPACK sinqb factor
     ref4 = 2 * (x * np.sin(np.pi * (k + 1) * (2 * j + 1) / (2 * n))).sum(-1)
-    np.testing.assert_allclose(oracle.sinqb(x), ref4, atol=1e-9)
-    np.testing.assert_allclose(oracle.sinqf(oracle.sinqb(x)) / (2.0 * n), x, atol=1e-9)
+    np.testing.assert_allclose(oracle.dst2(x), ref4, atol=1e-9)
+    np.testing.assert_allclose(oracle.sinqb(x), 2 * ref4, atol=1e-9)
+    np.testing.assert_allclose(oracle.sinqf(oracle.sinqb(x)) / (4.0 * n), x, atol=1e-9)
 
 
 def test_oracle_dct1_involution():
