@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--csv", type=str, default=None)
+    ap.add_argument("--trials", type=int, default=None, help="best-of-N per point")
     args = ap.parse_args()
 
     import jax
@@ -36,6 +37,12 @@ def main():
     from pffft_tpu.channelizer import Channelizer, design_lowpass
     from pffft_tpu.dsp import mixer_apply_split, mixer_init
     from timing import bench_op, measure_peak_bw
+
+    trials = args.trials or (1 if args.quick else 3)
+
+    def best_of(step, data):
+        # best-of-N: chip throughput varies ~2-4x between trials (CLAUDE.md)
+        return min(bench_op(step, data) for _ in range(trials))
 
     rng = np.random.default_rng(0)
     rows = []
@@ -56,7 +63,7 @@ def main():
         (orr, oi), _ = mixer_apply_split(st, r, i)
         return orr, oi
 
-    t = bench_op(mix_step, (xr, xi))
+    t = best_of(mix_step, (xr, xi))
     emit(bench="mixer_shift", samples=n, msamp_s=round(n / t / 1e6, 1),
          sol=round((4 * n * 4 / bw) / t, 3))
 
@@ -75,7 +82,7 @@ def main():
             y = s._conv_stream(v, tot)
             return (jnp.concatenate([y, v[tot:]]),)
 
-        t = bench_op(conv_fix, (x,))
+        t = best_of(conv_fix, (x,))
         emit(bench="fastconv", filter_len=flen, nfft=setup.nfft,
              ksamp_s=round(total / t / 1e3, 1),
              ns_per_sample=round(t / total * 1e9, 2))
@@ -94,7 +101,7 @@ def main():
         # shape-preserving wrap: outputs reshape to input length
         return yr.reshape(r.shape), yi.reshape(i.shape)
 
-    t = bench_op(chan_step, (sr, si))
+    t = best_of(chan_step, (sr, si))
     in_samps = batch * frames * m
     emit(bench="channelizer", channels=m, taps_per_channel=p, batch=batch,
          msamp_s=round(in_samps / t / 1e6, 1),
