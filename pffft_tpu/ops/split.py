@@ -61,28 +61,69 @@ def split_conj_mul(a: SplitPair, b: SplitPair) -> SplitPair:
     return ar * br + ai * bi, ai * br - ar * bi
 
 
+# Above this many elements a twiddle table is factored into split tables
+# T[k, i] = A[k_hi, i] * B[k_lo, i] (k = k_hi*_TW_SPLIT_LO + k_lo) instead
+# of being embedded whole: giant jit constants blow the axon HTTP compile
+# limit (CLAUDE.md: HTTP 413) and cost an N-sized HBM read per stage,
+# while the split factors are KB-sized and the product fuses into the
+# elementwise consumer.  Exponents reduce exactly in integers host-side,
+# so A*B == T up to one extra f32/f64 rounding.
+_TW_SPLIT_MIN = 1 << 21
+_TW_SPLIT_LO = 128
+
+
 @functools.lru_cache(maxsize=4096)
 def _stage_consts(stage, backward: bool):
     """Host-side split of a stage's complex tables (cached per plan stage).
 
-    Returns (dft_re, dft_im, dft_sum, dft_diff, tw_re, tw_im) where
-    ``dft_sum = re + im`` and ``dft_diff = im - re`` are the precombined
-    matrices of Gauss's 3-multiplication complex product (see
-    :func:`_contract_stage`).
+    Returns (dft_re, dft_im, dft_sum, dft_diff, tw) where ``dft_sum = re +
+    im`` and ``dft_diff = im - re`` are the precombined matrices of Gauss's
+    3-multiplication complex product (see :func:`_contract_stage`), and
+    ``tw`` is either ("dense", re, im) or ("split", lo, Ar, Ai, Br, Bi)
+    per the size policy above.
     """
 
     dft = stage.dft
-    tw = stage.twiddle
     if backward:
         dft = np.conj(dft)
-        tw = np.conj(tw)
     dr = np.ascontiguousarray(dft.real)
     di = np.ascontiguousarray(dft.imag)
+    tw = stage.twiddle  # stored forward-sign; the builder conjugates
+    twc = _tw_consts_from_table(tw, tw.shape[0] * tw.shape[1], backward)
     return (
         dr,
         di,
         np.ascontiguousarray(dr + di),
         np.ascontiguousarray(di - dr),
+        twc,
+    )
+
+
+def _tw_consts_from_table(tw: np.ndarray, period: int, backward: bool):
+    """Dense or split constants for a product-exponent table
+    T[a, b] = exp(-2i pi a b / period) (already conjugated if the stored
+    table carries the backward sign — ``backward`` conjugates here)."""
+
+    if backward:
+        tw = np.conj(tw)
+    l, r = tw.shape
+    if l * r >= _TW_SPLIT_MIN and l % _TW_SPLIT_LO == 0:
+        lo = _TW_SPLIT_LO
+        sign = 1 if backward else -1
+        hi_k = (np.arange(l // lo, dtype=np.int64)[:, None] * lo) % period
+        lo_k = np.arange(lo, dtype=np.int64)[:, None]
+        i = np.arange(r, dtype=np.int64)[None, :]
+        ang_a = (2.0 * np.pi / period) * ((hi_k * i) % period).astype(np.float64)
+        ang_b = (2.0 * np.pi / period) * ((lo_k * i) % period).astype(np.float64)
+        dt = tw.real.dtype
+        return (
+            "split",
+            lo,
+            np.cos(ang_a).astype(dt), (np.sin(ang_a) * sign).astype(dt),
+            np.cos(ang_b).astype(dt), (np.sin(ang_b) * sign).astype(dt),
+        )
+    return (
+        "dense",
         np.ascontiguousarray(tw.real),
         np.ascontiguousarray(tw.imag),
     )
@@ -132,7 +173,7 @@ def _contract_stage(ar, ai, consts, sub: str) -> SplitPair:
     the 4-multiplication form per :func:`cmul_mode`.
     """
 
-    dr, di, dsum, ddiff, _, _ = consts
+    dr, di, dsum, ddiff, _ = consts
     if cmul_mode() == "gauss":
         jdr = jnp.asarray(dr, dtype=ar.dtype)
         jdsum = jnp.asarray(dsum, dtype=ar.dtype)
@@ -154,13 +195,44 @@ def _contract_stage(ar, ai, consts, sub: str) -> SplitPair:
     return nr, ni
 
 
-def _stage_twiddle_mul(ar, ai, consts, bshape) -> SplitPair:
-    """Elementwise [l, r] stage-twiddle multiply, broadcast per ``bshape``."""
+def _apply_twiddle(ar, ai, twc, l_axis: int) -> SplitPair:
+    """Elementwise product-twiddle multiply T[a, b] on axes (l_axis,
+    l_axis+1) of planar data, where ``twc`` is the ("dense", ...) or
+    ("split", ...) tuple from the table builders.
 
-    twr, twi = consts[4], consts[5]
-    wr = jnp.asarray(twr, dtype=ar.dtype).reshape(bshape)
-    wi = jnp.asarray(twi, dtype=ar.dtype).reshape(bshape)
-    return ar * wr - ai * wi, ar * wi + ai * wr
+    Split form: the data's l-axis is viewed as (l_hi, lo) and two complex
+    multiplies apply A[l_hi, r] then B[lo, r] — A*B == T exactly up to one
+    rounding, with KB-sized constants instead of an l*r-sized table.
+    """
+
+    shape = ar.shape
+    nd = len(shape)
+    l_axis %= nd
+    r_axis = l_axis + 1
+    l, r = shape[l_axis], shape[r_axis]
+    if twc[0] == "dense":
+        _, twr, twi = twc
+        b = [1] * nd
+        b[l_axis], b[r_axis] = l, r
+        wr = jnp.asarray(twr, dtype=ar.dtype).reshape(b)
+        wi = jnp.asarray(twi, dtype=ar.dtype).reshape(b)
+        return ar * wr - ai * wi, ar * wi + ai * wr
+    _, lo, a_r, a_i, b_r, b_i = twc
+    hi = l // lo
+    ns = shape[:l_axis] + (hi, lo) + shape[l_axis + 1 :]
+    xr = ar.reshape(ns)
+    xi = ai.reshape(ns)
+    ba = [1] * (nd + 1)
+    ba[l_axis], ba[r_axis + 1] = hi, r
+    bb = [1] * (nd + 1)
+    bb[l_axis + 1], bb[r_axis + 1] = lo, r
+    war = jnp.asarray(a_r, dtype=ar.dtype).reshape(ba)
+    wai = jnp.asarray(a_i, dtype=ar.dtype).reshape(ba)
+    wbr = jnp.asarray(b_r, dtype=ar.dtype).reshape(bb)
+    wbi = jnp.asarray(b_i, dtype=ar.dtype).reshape(bb)
+    xr, xi = xr * war - xi * wai, xr * wai + xi * war
+    xr, xi = xr * wbr - xi * wbi, xr * wbi + xi * wbr
+    return xr.reshape(shape), xi.reshape(shape)
 
 
 def cfft_stages_split(
@@ -191,7 +263,7 @@ def cfft_stages_split(
         ar = ar.reshape(b, l, r, m)
         ai = ai.reshape(b, l, r, m)
         if l > 1:
-            ar, ai = _stage_twiddle_mul(ar, ai, consts, (1, l, r, 1))
+            ar, ai = _apply_twiddle(ar, ai, consts[4], 1)
         last = idx == nstages - 1
         sub = "blrm,rt->bltm" if (last and not ordered) else "blrm,rt->btlm"
         nr, ni = _contract_stage(ar, ai, consts, sub)
@@ -225,7 +297,7 @@ def _stages_axis2_split(
         ar = ar.reshape(b, l, r, m, x)
         ai = ai.reshape(b, l, r, m, x)
         if l > 1:
-            ar, ai = _stage_twiddle_mul(ar, ai, consts, (1, l, r, 1, 1))
+            ar, ai = _apply_twiddle(ar, ai, consts[4], 1)
         nr, ni = _contract_stage(ar, ai, consts, "blrmx,rt->btlmx")
         shape = (b, l * r, m, x)
         ar, ai = nr.reshape(shape), ni.reshape(shape)
@@ -261,7 +333,7 @@ def _stages_lead_spec_split(
         ar = ar.reshape(b, y, l, r, m)
         ai = ai.reshape(b, y, l, r, m)
         if l > 1:
-            ar, ai = _stage_twiddle_mul(ar, ai, consts, (1, 1, l, r, 1))
+            ar, ai = _apply_twiddle(ar, ai, consts[4], 2)
         if seen == nstages and move_spectator:
             nr, ni = _contract_stage(ar, ai, consts, "bylrm,rt->btlmy")
             return nr.reshape(b, n, y), ni.reshape(b, n, y)
@@ -280,13 +352,15 @@ def _split_tw_consts(key, backward: bool):
 
 
 @functools.lru_cache(maxsize=256)
-def _split_tw_consts_t(key, backward: bool):
-    """Transposed four-step twiddle planes (for the [j2, k1] layout)."""
+def _fourstep_tw_consts(key, backward: bool, transposed: bool):
+    """Four-step twiddle constants (dense or split), optionally for the
+    transposed [j2, k1] layout — the product-exponent structure is
+    symmetric, so the same split applies either way."""
 
-    tw = key.a.T
-    if backward:
-        tw = np.conj(tw)
-    return np.ascontiguousarray(tw.real), np.ascontiguousarray(tw.imag)
+    tw = key.a.T if transposed else key.a
+    return _tw_consts_from_table(
+        np.ascontiguousarray(tw), tw.shape[0] * tw.shape[1], backward
+    )
 
 
 def cfft_plan_split(
@@ -321,15 +395,8 @@ def cfft_plan_split(
         # so the inter-phase relayouts ride the matmul read/write patterns
         # instead of materialized swapaxes passes (round-1 N>=32768 cliff).
         def twiddle_mul(ar, ai, transposed: bool):
-            key = _HashableArray(tw)
-            twr_np, twi_np = (
-                _split_tw_consts_t(key, backward)
-                if transposed
-                else _split_tw_consts(key, backward)
-            )
-            wr = jnp.asarray(twr_np, dtype=ar.dtype)
-            wi = jnp.asarray(twi_np, dtype=ar.dtype)
-            return ar * wr - ai * wi, ar * wi + ai * wr
+            twc = _fourstep_tw_consts(_HashableArray(tw), backward, transposed)
+            return _apply_twiddle(ar, ai, twc, -2)
 
         if not backward:
             ar = re.reshape(b, n1, n2)

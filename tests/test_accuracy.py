@@ -271,3 +271,41 @@ def test_gauss_cmul_matches_4mul():
             assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
     finally:
         sp.set_cmul_mode(None)
+
+
+def test_split_twiddle_tables_match_dense():
+    """Forcing the split twiddle factorization (T = A*B, used for large-N
+    tables that would otherwise be giant jit constants) must reproduce the
+    dense-table transform to ~1 ulp, on chains and the four-step, both
+    directions."""
+
+    import jax.numpy as jnp
+    import pffft_tpu as pf
+    from pffft_tpu.ops import split as sp
+
+    r = np.random.default_rng(5)
+    orig_min = sp._TW_SPLIT_MIN
+    try:
+        for n, mf in [(65536, 128), (65536, 256), (1 << 18, 128)]:
+            re = jnp.asarray(r.standard_normal(n).astype(np.float32))
+            im = jnp.asarray(r.standard_normal(n).astype(np.float32))
+            plan = pf.new_setup(n, pf.COMPLEX, max_factor=mf)
+
+            sp._TW_SPLIT_MIN = orig_min
+            sp._stage_consts.cache_clear()
+            sp._fourstep_tw_consts.cache_clear()
+            dr, di_ = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+
+            sp._TW_SPLIT_MIN = 1 << 12  # force the split form everywhere
+            sp._stage_consts.cache_clear()
+            sp._fourstep_tw_consts.cache_clear()
+            xr, xi = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+            scale = float(np.abs(np.asarray(dr)).max())
+            assert np.abs(np.asarray(xr) - np.asarray(dr)).max() < 3e-6 * scale
+            assert np.abs(np.asarray(xi) - np.asarray(di_)).max() < 3e-6 * scale
+            br, bi = sp.cfft_plan_split(plan, xr, xi, backward=True, ordered=True)
+            assert np.abs(np.asarray(br) / n - np.asarray(re)).max() < 2e-3
+    finally:
+        sp._TW_SPLIT_MIN = orig_min
+        sp._stage_consts.cache_clear()
+        sp._fourstep_tw_consts.cache_clear()
