@@ -63,13 +63,13 @@ def main():
     # distinguishable from contention in the archived JSON.
     trials = []
     stale = 0
-    max_trials = 3 if quick else 12
+    max_trials = 3 if quick else 16
     while len(trials) < max_trials:
         t = bench_op(fft, (re, im), k1=2 if quick else 4, k2=10 if quick else 20)
         improved = not trials or t < min(trials) * 0.98
         trials.append(t)
         stale = 0 if improved else stale + 1
-        if stale >= 3 and len(trials) >= (2 if quick else 5):
+        if stale >= 4 and len(trials) >= (2 if quick else 6):
             break
     t_fft = min(trials)
 
