@@ -10,4 +10,5 @@ python benchmarks/sweep_fft.py --non-pow2 --trials 4 \
 python benchmarks/sweep_fft.py --cplx --quick --trials 2 --max-len 65536 --compare \
   --csv $R/sweep_r2_compare.csv
 python benchmarks/bench_pipeline.py --csv $R/pipeline_r2.csv
+python benchmarks/bench_engines.py --csv $R/engines_r2.csv
 python benchmarks/plots.py $R/sweep_r2.csv $R/sweep_r2_non2.csv -o $R || true
