@@ -253,7 +253,12 @@ def default_max_factor() -> int:
     try:
         import jax
 
-        return 128 if jax.default_backend() == "tpu" else 5
+        # Round-2 measurement (scripts/r2_perf4.py): a (512, 256) dense
+        # chain runs 2.2x the four-step on the same factors at N=2^17
+        # (628 GF/s = 0.145 SoL vs 285), and dense-256 stages hold 150.5 dB
+        # on-chip — so the TPU cap is 512 and large N prefers fat chains
+        # (see Plan._cached's chain-vs-split policy).
+        return 512 if jax.default_backend() == "tpu" else 5
     except Exception:  # pragma: no cover
         return 5
 
@@ -456,11 +461,22 @@ class Plan:
         engine_n = n // 2 if kind == REAL else n
         real_tw = _real_split_twiddle(n, -1, cdtype) if kind == REAL else None
 
-        if (
+        use_split = (
             max_factor >= _LOCAL_SPLIT_MIN_MF
             and engine_n > max_factor * max_factor
             and engine_n <= _LOCAL_SPLIT_MAX_N
-        ):
+        )
+        if use_split:
+            # Prefer a plain chain when it stays short and fat: measured
+            # 2.2x over the four-step at N=2^17 (scripts/r2_perf4.py) —
+            # fewer, fatter HBM passes beat the spectator-einsum phases.
+            try:
+                chain = plan_factors(engine_n, max_factor=max_factor)
+                if len(chain) <= 4 and min(chain) >= 64:
+                    use_split = False
+            except ValueError:  # pragma: no cover
+                pass
+        if use_split:
             n1, n2 = _balanced_split(engine_n)
             p1 = Plan._cached(n1, COMPLEX, dtype_str, max_factor)
             p2 = Plan._cached(n2, COMPLEX, dtype_str, max_factor)
