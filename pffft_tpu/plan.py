@@ -379,7 +379,11 @@ def _stage_twiddle(l: int, r: int, sign: int, dtype) -> np.ndarray:
 
     period = l * r
     nat = _native_planner()
-    if nat is not None:
+    # native long-double conditioning for ordinary tables; giant tables
+    # (l*r > 2^22, only reachable at N >= 2^23) use vectorized float64 —
+    # the scalar long-double loop costs tens of seconds there and the
+    # engine factors such tables into split form anyway (ops/split.py)
+    if nat is not None and l * r <= (1 << 22):
         m = nat.stage_twiddle(l, r, period)
         return (np.conj(m) if sign > 0 else m).astype(dtype)
     k = np.arange(l, dtype=np.int64)[:, None]
