@@ -60,6 +60,8 @@ from . import resample
 from . import channelizer
 from . import fft
 from . import parallel
+from . import tune
+from .tune import tuned_setup
 
 __version__ = "0.1.0"
 
@@ -95,6 +97,8 @@ __all__ = [
     "channelizer",
     "fft",
     "parallel",
+    "tune",
+    "tuned_setup",
     "cfft",
     "icfft",
     "rfft_packed",
