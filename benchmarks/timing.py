@@ -49,6 +49,9 @@ def _fetch(out) -> float:
     return float(total)
 
 
+_LOOP_CACHE: dict = {}
+
+
 def _looped(step: Callable, iters: int):
     """One jitted dispatch running ``step`` iters times with a carried tuple.
 
@@ -57,7 +60,16 @@ def _looped(step: Callable, iters: int):
     pass over memory (measured: a 40-iteration elementwise 'benchmark'
     costing one iteration's HBM traffic, apparent bandwidth 15x the
     physical peak).
+
+    Cached per (step, iters): a fresh closure per call would miss the jit
+    cache and recompile on EVERY trial — on this backend's 20-60 s remote
+    compiles that silently turned best-of-N sweeps into hour-long runs.
     """
+
+    key = (step, iters)
+    hit = _LOOP_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     @jax.jit
     def run(args):
@@ -68,6 +80,9 @@ def _looped(step: Callable, iters: int):
 
         return jax.lax.fori_loop(0, iters, body, args)
 
+    if len(_LOOP_CACHE) > 512:  # unbounded growth guard
+        _LOOP_CACHE.clear()
+    _LOOP_CACHE[key] = run
     return run
 
 
