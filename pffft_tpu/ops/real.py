@@ -41,6 +41,21 @@ def _set_bin0(x: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.concatenate([v[..., None].astype(x.dtype), x[..., 1:]], axis=-1)
 
 
+def _flip_last(z: jax.Array) -> jax.Array:
+    """flip on the last axis via a [H/n2, n2] both-axes reverse for large H
+    (the flat minor-axis rev serializes on the TPU backend; see
+    ops/split.py:_flip_last)."""
+
+    h = z.shape[-1]
+    if h >= (1 << 15):
+        for n2 in (512, 256, 1024, 128, 64):
+            if h % n2 == 0:
+                lead = z.shape[:-1]
+                y = z.reshape(*lead, h // n2, n2)
+                return y[..., ::-1, ::-1].reshape(*lead, h)
+    return z[..., ::-1]
+
+
 def _reverse_conj(z: jax.Array) -> jax.Array:
     """y[k] = conj(z[(H - k) mod H]) along the last axis.
 
@@ -48,7 +63,7 @@ def _reverse_conj(z: jax.Array) -> jax.Array:
     (the reversed_copy analog, pffft_priv_impl.h:1125 — also shuffle-free).
     """
 
-    return jnp.conj(jnp.concatenate([z[..., 0:1], z[..., :0:-1]], axis=-1))
+    return jnp.conj(jnp.concatenate([z[..., 0:1], _flip_last(z)[..., :-1]], axis=-1))
 
 
 def real_forward_split(Z: jax.Array, real_twiddle: np.ndarray) -> jax.Array:
@@ -83,7 +98,7 @@ def real_backward_split(S: jax.Array, real_twiddle: np.ndarray) -> jax.Array:
     # xb[k] = X[H - k]: xb[0] = X[H] (real Nyquist), xb[k>0] = S[H-k];
     # built directly from slices (no roll/scatter)
     xb = jnp.concatenate(
-        [nyq[..., None].astype(S.dtype), xa[..., :0:-1]], axis=-1
+        [nyq[..., None].astype(S.dtype), _flip_last(xa)[..., :-1]], axis=-1
     )
     xbc = jnp.conj(xb)
     w = jnp.asarray(real_twiddle)

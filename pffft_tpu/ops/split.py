@@ -504,15 +504,33 @@ def _split_real_tw(real_twiddle: np.ndarray):
     return _real_tw_consts(_HashableArray(real_twiddle))
 
 
+def _flip_last(x: jax.Array) -> jax.Array:
+    """flip along the last axis; for large H the flat lax.rev serializes on
+    this backend (measured: real transforms collapsed to 0.01 SoL at
+    N>=2^19), so reverse a [H/n2, n2] view on both axes instead —
+    identical result ((n1-1-i)*n2 + (n2-1-j) == H-1-(i*n2+j))."""
+
+    h = x.shape[-1]
+    if h >= (1 << 15):
+        for n2 in (512, 256, 1024, 128, 64):
+            if h % n2 == 0:
+                lead = x.shape[:-1]
+                z = x.reshape(*lead, h // n2, n2)
+                return z[..., ::-1, ::-1].reshape(*lead, h)
+    return x[..., ::-1]
+
+
 def _reverse_conj_split(zr: jax.Array, zi: jax.Array) -> SplitPair:
     """y[k] = conj(z[(H - k) mod H]) along the last axis.
 
     roll(flip(z), 1) == [z0, z_{H-1}, .., z1], built from slices+concat.
     """
 
+    fr = _flip_last(zr)
+    fi = _flip_last(zi)
     return (
-        jnp.concatenate([zr[..., 0:1], zr[..., :0:-1]], axis=-1),
-        -jnp.concatenate([zi[..., 0:1], zi[..., :0:-1]], axis=-1),
+        jnp.concatenate([zr[..., 0:1], fr[..., :-1]], axis=-1),
+        -jnp.concatenate([zi[..., 0:1], fi[..., :-1]], axis=-1),
     )
 
 
@@ -557,8 +575,8 @@ def real_backward_split_planar(sr, si, real_twiddle: np.ndarray) -> SplitPair:
     xar = sr  # Re xa[0] == dc already
     xai = _set_bin0(si, zero)
     # xb = roll(flip(xa), 1) with xb[0] overridden: build by concat directly
-    xbr = jnp.concatenate([nyq[..., None], xar[..., :0:-1]], axis=-1)
-    xbi = jnp.concatenate([zero[..., None], xai[..., :0:-1]], axis=-1)
+    xbr = jnp.concatenate([nyq[..., None], _flip_last(xar)[..., :-1]], axis=-1)
+    xbi = jnp.concatenate([zero[..., None], _flip_last(xai)[..., :-1]], axis=-1)
     # xbc = conj(xb)
     er, ei = xar + xbr, xai - xbi
     dr, di = xar - xbr, xai + xbi
