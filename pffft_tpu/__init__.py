@@ -63,7 +63,7 @@ from . import parallel
 from . import tune
 from .tune import tuned_setup
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Plan",
