@@ -69,7 +69,7 @@ def main():
         improved = not trials or t < min(trials) * 0.98
         trials.append(t)
         stale = 0 if improved else stale + 1
-        if stale >= 4 and len(trials) >= (2 if quick else 6):
+        if stale >= 3 and len(trials) >= (2 if quick else 6):
             break
     t_fft = min(trials)
 

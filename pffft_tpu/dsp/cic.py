@@ -130,29 +130,50 @@ class CicDDC:
         n = int(xr.shape[0])
         if n % r:
             raise ValueError(f"input length {n} must be a multiple of factor {r}")
-        k_out = n // r
         rate_fp = jnp.asarray(
             np.uint32(np.uint64(round((float(rate) % 1.0) * _TWO32)) & np.uint64(0xFFFFFFFF)),
             dtype=jnp.uint32,
         )
-        return self._apply_jit(state, xr, xi, rate_fp, k_out, np.float32(scale))
+        return self._jitted_apply(state, xr, xi, rate_fp, jnp.float32(scale))
 
-    def _apply_jit(self, state, xr, xi, rate_fp, k_out, scale):
+    def _frames(self, ext: jax.Array, k_out: int) -> jax.Array:
+        """[R*(K+2)] -> [K, 3R-2] frames at hop R, gather-free.
+
+        Frame k is ext[k*R : k*R + 3R-2]: frame length 3R-2 < 3R means every
+        frame lies inside three consecutive R-chunks, so framing is a
+        reshape + three shifted slices + concat — no integer-array gather
+        (XLA gathers serialize on this backend; same construction as
+        conv.FastConv._frame).
+        """
+
         r = self.factor
+        x2 = ext.reshape(k_out + 2, r)
+        return jnp.concatenate([x2[:-2], x2[1:-1], x2[2:]], axis=-1)[:, : 3 * r - 2]
+
+    def _apply_impl(self, state, xr, xi, rate_fp, scale):
+        r = self.factor
+        k_out = xr.shape[0] // r
         mr, mi = self._mix_split(xr, xi, state.phase_fp, rate_fp)
         extr = jnp.concatenate([state.hist_re, mr])  # [2R + RK]
         exti = jnp.concatenate([state.hist_im, mi])
-        idx = np.arange(k_out)[:, None] * r + np.arange(3 * r - 2)[None, :]
         b3 = self.b3_rev
         g = self.gain * scale
-        yr = (extr[idx] @ b3) * g
-        yi = (exti[idx] @ b3) * g
+        yr = (self._frames(extr, k_out) @ b3) * g
+        yi = (self._frames(exti, k_out) @ b3) * g
         new_state = CicState(
             phase_fp=state.phase_fp + jnp.uint32(xr.shape[0]) * rate_fp,
             hist_re=extr[-2 * r :],
             hist_im=exti[-2 * r :],
         )
         return (yr, yi), new_state
+
+    @property
+    def _jitted_apply(self):
+        fn = self.__dict__.get("_jitted_apply_cache")
+        if fn is None:
+            fn = jax.jit(self._apply_impl)
+            self.__dict__["_jitted_apply_cache"] = fn
+        return fn
 
 
 def cicddc_init(factor: int) -> Tuple[CicDDC, CicState]:

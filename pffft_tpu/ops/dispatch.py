@@ -71,16 +71,38 @@ def set_engine(name: Optional[str]) -> None:
     _FORCED = name
 
 
+_WARNED_ENV_FALLBACK = set()
+
+
 def select_engine(plan: _plan.Plan, batch: int, time_major: bool) -> str:
     avail = available_engines(plan, batch, time_major)
-    forced = _FORCED or os.environ.get("PFFFT_TPU_ENGINE") or None
-    if forced is not None:
-        if forced not in avail:
+    if _FORCED is not None:
+        # programmatic force: hard error when unavailable (caller opted in)
+        if _FORCED not in avail:
             raise ValueError(
-                f"forced engine {forced!r} unavailable for plan {plan} "
+                f"forced engine {_FORCED!r} unavailable for plan {plan} "
                 f"(batch={batch}, time_major={time_major}); available: {avail}"
             )
-        return forced
+        return _FORCED
+    env = os.environ.get("PFFFT_TPU_ENGINE") or None
+    if env is not None:
+        # env-var force: fall back to 'xla' with a one-time warning — a
+        # global env var must not turn every unsupported call site (odd
+        # batch, time_major mismatch) into a ValueError (ADVICE r2)
+        if env in avail:
+            return env
+        key = (env, plan.n, batch, time_major)
+        if key not in _WARNED_ENV_FALLBACK:
+            _WARNED_ENV_FALLBACK.add(key)
+            import warnings
+
+            warnings.warn(
+                f"PFFFT_TPU_ENGINE={env!r} unavailable for plan {plan} "
+                f"(batch={batch}, time_major={time_major}); falling back to 'xla'",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return "xla"
     # measured default: the XLA Gauss fat-stage path wins on current
     # hardware (0.98 SoL at N=4096, scripts/r2_perf1.py; the fused kernel's
     # concat matmuls cost 4/3 the MXU work — see benchmarks/results/)

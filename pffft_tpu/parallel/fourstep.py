@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import plan as _plan
 from ..ops import stages as _stages
+from ..ops.split import _flip_last as _flip_last_local
 
 try:  # jax >= 0.8 top-level, older under experimental
     shard_map = jax.shard_map
@@ -197,7 +198,10 @@ class FourStepPlan:
         """Shard-local piece of the global y[k] = z[(H-k) mod H] mirror."""
 
         ax, d = self.axis, self.n_shards
-        f = f[..., ::-1]  # local flip (lax.rev, shuffle-free)
+        # local flip: blocked 2D both-axes reverse for large shard-local
+        # lengths — a flat lax.rev on a large minor axis serializes on the
+        # TPU backend (same workaround as ops/split.py:_flip_last)
+        f = _flip_last_local(f)
         if d > 1:
             # global flip: shard s now holds flip-block D-1-s -> swap shards
             f = jax.lax.ppermute(f, ax, [(i, d - 1 - i) for i in range(d)])

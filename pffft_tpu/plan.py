@@ -454,7 +454,13 @@ class Plan:
 
     @staticmethod
     @functools.lru_cache(maxsize=256)
-    def _cached(n: int, kind: TransformKind, dtype_str: str, max_factor: int) -> "Plan":
+    def _cached(
+        n: int,
+        kind: TransformKind,
+        dtype_str: str,
+        max_factor: int,
+        explicit_factors: Optional[Tuple[int, ...]] = None,
+    ) -> "Plan":
         dtype = np.dtype(dtype_str)
         if dtype == np.float32:
             cdtype = np.dtype(np.complex64)
@@ -466,7 +472,8 @@ class Plan:
         real_tw = _real_split_twiddle(n, -1, cdtype) if kind == REAL else None
 
         use_split = (
-            max_factor >= _LOCAL_SPLIT_MIN_MF
+            explicit_factors is None
+            and max_factor >= _LOCAL_SPLIT_MIN_MF
             and engine_n > max_factor * max_factor
             and engine_n <= _LOCAL_SPLIT_MAX_N
         )
@@ -497,7 +504,19 @@ class Plan:
                 local_split=(p1, p2, tw),
             )
 
-        factors = plan_factors(engine_n, max_factor=max_factor)
+        if explicit_factors is not None:
+            factors = explicit_factors
+            prod = 1
+            for f in factors:
+                decompose_smooth(f)  # raises if not 2/3/5-smooth
+                prod *= f
+            if prod != engine_n:
+                raise ValueError(
+                    f"explicit factors {factors} multiply to {prod}, "
+                    f"expected engine length {engine_n}"
+                )
+        else:
+            factors = plan_factors(engine_n, max_factor=max_factor)
         stages = []
         l = 1
         m = engine_n
@@ -531,6 +550,7 @@ class Plan:
         dtype="float32",
         *,
         max_factor=None,
+        factors=None,
         strict: bool = True,
     ) -> "Plan":
         """Create a plan.
@@ -541,6 +561,11 @@ class Plan:
         Plan.create(N) succeeds``.  With ``strict=False``, any 2/3/5-smooth
         N >= 2 is accepted (the TPU engine itself has no SIMD granularity
         constraint).
+
+        ``factors`` pins the exact stage chain (a tuple multiplying to the
+        engine length — N for complex, N/2 for real); the measured-dispatch
+        layer (tune.py) uses this to select stage shapes from data instead
+        of the max_factor policy heuristic.
         """
 
         kind = _coerce_kind(kind)
@@ -558,7 +583,8 @@ class Plan:
             if n < 2 or (n % 2 != 0 and kind == REAL):
                 raise ValueError(f"N={n} unsupported for {kind.value} transform")
             decompose_smooth(n)  # raises if not smooth
-        return Plan._cached(int(n), kind, np.dtype(dtype).name, int(max_factor))
+        ef = tuple(int(f) for f in factors) if factors is not None else None
+        return Plan._cached(int(n), kind, np.dtype(dtype).name, int(max_factor), ef)
 
     # --- helpers ----------------------------------------------------------
 
@@ -582,17 +608,27 @@ class Plan:
             f"factors={self.factors})"
         )
 
+    def _signature(self) -> tuple:
+        """Identity tuple distinguishing every *engine* variant.
+
+        Includes the recursive local-split structure: a chain plan with
+        factors (256, 256) and a four-step plan with the same factors are
+        DIFFERENT compiled engines (round-2 finding: hashing only the
+        factors silently reused one engine for both, defeating tuned_setup's
+        chain-vs-split comparison).
+        """
+
+        ls = None
+        if self.local_split is not None:
+            p1, p2, _ = self.local_split
+            ls = (p1._signature(), p2._signature())
+        return (self.n, self.kind, self.dtype.name, self.factors, ls)
+
     def __hash__(self) -> int:
-        return hash((self.n, self.kind, self.dtype.name, self.factors))
+        return hash(self._signature())
 
     def __eq__(self, other) -> bool:
-        return (
-            isinstance(other, Plan)
-            and self.n == other.n
-            and self.kind == other.kind
-            and self.dtype == other.dtype
-            and self.factors == other.factors
-        )
+        return isinstance(other, Plan) and self._signature() == other._signature()
 
 
 # ---------------------------------------------------------------------------

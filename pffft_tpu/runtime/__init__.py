@@ -197,6 +197,19 @@ class StreamFramer:
     def push(self, x) -> int:
         x = np.ascontiguousarray(np.asarray(x, dtype=np.float32).ravel())
         if self._lib is not None:
+            # all-or-nothing: check free space BEFORE writing, so a raised
+            # BufferError leaves the ring untouched and the caller can
+            # safely drain and re-push the same chunk (a partial write
+            # would duplicate the committed prefix on retry).
+            free = int(self._lib.pftpu_ring_capacity(self._ring)) - int(
+                self._lib.pftpu_ring_size(self._ring)
+            )
+            if x.size > free:
+                raise BufferError(
+                    f"stream ring full: {x.size} samples do not fit in "
+                    f"{free} free slots (nothing written); drain frames() "
+                    f"before pushing, or push smaller chunks"
+                )
             written = int(
                 self._lib.pftpu_ring_write(
                     self._ring,
@@ -204,14 +217,6 @@ class StreamFramer:
                     x.size,
                 )
             )
-            if written != x.size:
-                # The native ring truncates when full; silently dropping
-                # samples would corrupt the stream (and diverge from the
-                # unbounded Python fallback), so surface it.
-                raise BufferError(
-                    f"stream ring full: wrote {written}/{x.size} samples; "
-                    f"drain frames() before pushing, or push smaller chunks"
-                )
             return written
         self._buf = np.concatenate([self._buf, x])
         return x.size

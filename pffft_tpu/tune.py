@@ -69,8 +69,9 @@ def _time_plan(n: int, kind, dtype, mf: int, batch: int, iters: int) -> float:
     engine_n = n // 2 if _plan._coerce_kind(kind) == _plan.REAL else n
     eng = _plan.Plan.create(engine_n, _plan.COMPLEX, dtype, max_factor=mf, strict=False)
     rng = np.random.default_rng(0)
-    re = jnp.asarray(rng.standard_normal((batch, eng.engine_n)).astype(np.float32))
-    im = jnp.asarray(rng.standard_normal((batch, eng.engine_n)).astype(np.float32))
+    rdt = np.dtype(dtype)  # probe with the plan's real dtype, not always f32
+    re = jnp.asarray(rng.standard_normal((batch, eng.engine_n)).astype(rdt))
+    im = jnp.asarray(rng.standard_normal((batch, eng.engine_n)).astype(rdt))
 
     def looped(k):
         @jax.jit
