@@ -87,6 +87,29 @@ def main():
              ksamp_s=round(total / t / 1e3, 1),
              ns_per_sample=round(t / total * 1e9, 2))
 
+    # --- CIC DDC: Msamples/s (pf_cic bench analog — the one PFDSP component
+    # with a C hot loop, /root/reference/src/pf_cic.cpp:87-135; round-2 had
+    # no on-chip number and a gather-framed apply)
+    from pffft_tpu.dsp.cic import CicDDC
+
+    n_cic = 1 << 22 if not args.quick else 1 << 19
+    for r_factor in ([16, 64] if not args.quick else [16]):
+        ddc = CicDDC(r_factor)
+        cst = ddc.init_state()
+        cr = jnp.asarray(rng.standard_normal(n_cic).astype(np.float32))
+        ci = jnp.asarray(rng.standard_normal(n_cic).astype(np.float32))
+        rate_fp = jnp.asarray(np.uint32(round(0.123 * (1 << 32)) & 0xFFFFFFFF))
+
+        def cic_step(r, i, d=ddc, s=cst, rf=rate_fp):
+            (yr, yi), _ = d._apply_impl(s, r, i, rf, jnp.float32(1.0))
+            # shape-preserving wrap for loop chaining
+            return jnp.concatenate([yr, r[yr.shape[0]:]]), jnp.concatenate([yi, i[yi.shape[0]:]])
+
+        t = best_of(cic_step, (cr, ci))
+        emit(bench="cic_ddc", factor=r_factor, samples=n_cic,
+             msamp_s=round(n_cic / t / 1e6, 1),
+             sol=round(((2 * n_cic + 2 * n_cic // r_factor) * 4 / bw) / t, 3))
+
     # --- channelizer: channel-samples/s (BASELINE config #5 single-chip)
     m, p = (4096, 8) if not args.quick else (512, 8)
     ch = Channelizer(m, p)

@@ -118,23 +118,34 @@ class Channelizer:
         phi_idx = np.arange(m)[None, None, :]
         return (p + k_idx - s_idx) * m - phi_idx  # [K, P, M], all >= 1
 
-    def _frames(self, ext: jax.Array, k: int) -> jax.Array:
-        """[..., P*M + L] -> [..., K, P, M] with fr[k, s, phi] =
-        ext[(P + k - s)*M - phi].
+    def _polyphase(self, ext: jax.Array, k: int) -> jax.Array:
+        """[..., P*M + L] -> [..., K, M] weighted frames
+        v[k, phi] = sum_s hb[s, phi] * ext[(P + k - s)*M - phi].
 
-        Built from flip + reshape + slice + stack — NO integer-array gather
-        (XLA gathers serialize badly on TPU).  Derivation: with
-        f = flip(ext) and g = f[M-1:], u[q, phi] := ext[q*M - phi] equals
-        g[(P+K-q-1)*M + phi]; rows of g.reshape(P+K-1, M) are u[q] in
-        descending q, and fr[:, s] is a reversed contiguous row slice.
+        Built from a blocked flip + reshape + P shifted row slices — NO
+        integer-array gather (XLA gathers serialize on TPU) and NO flat
+        reverse of the long stream axis (a flat lax.rev on a large minor
+        axis also serializes — the round-2 real-path cliff; see
+        ops/split.py:_flip_last).  Derivation: with f = flip(ext) and
+        g = f[M-1:], rows of g.reshape(P+K-1, M) are u[q, phi] :=
+        ext[q*M - phi] in DESCENDING q, so v (ascending k) is the k-flip
+        of sum_s hb[s] * rows[s : s+K].  The P-term multiply-accumulate
+        replaces the round-2 stack-of-P-slabs + einsum, which materialized
+        (and re-read) a P-times-amplified [K, P, M] intermediate — the
+        flagship pipeline's 0.044-SoL bottleneck.
         """
 
-        m, p = self.m, self.p
-        f = ext[..., ::-1]
+        m, p, w = self.m, self.p, self.weights
+        from .ops.split import _flip_last
+
+        f = _flip_last(ext)
         g = f[..., m - 1 : m - 1 + (p + k - 1) * m]
         rows = g.reshape(*g.shape[:-1], p + k - 1, m)
-        slabs = [jnp.flip(rows[..., s : s + k, :], axis=-2) for s in range(p)]
-        return jnp.stack(slabs, axis=-2)  # [..., K, P, M]
+        wt = w.astype(ext.dtype)
+        acc = rows[..., 0:k, :] * wt[0]
+        for s in range(1, p):
+            acc = acc + rows[..., s : s + k, :] * wt[s]
+        return jnp.flip(acc, axis=-2)  # k-axis flip: axis -2 is never minor
 
     def _pfb_split(self, extr: jax.Array, exti: jax.Array, k_frames: int):
         """ext planes [..., P*M + L] (history-prefixed) -> ([..., K, M]) x2.
@@ -148,9 +159,8 @@ class Channelizer:
         unscaled backward DFT over phi (channel extraction).
         """
 
-        w = self.weights
-        vr = jnp.einsum("...ksm,sm->...km", self._frames(extr, k_frames), w.astype(extr.dtype))
-        vi = jnp.einsum("...ksm,sm->...km", self._frames(exti, k_frames), w.astype(exti.dtype))
+        vr = self._polyphase(extr, k_frames)
+        vi = self._polyphase(exti, k_frames)
         return _fft.transform_ordered_split(self.plan, (vr, vi), _plan.BACKWARD)
 
     def process_split(

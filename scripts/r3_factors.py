@@ -56,12 +56,17 @@ def main():
 
     dev = jax.devices()[0]
     print(f"# backend={dev.platform} device={dev}", flush=True)
-    print("n,batch,factors,gflops_best,gflops_med,sol_best,sol_med,us_best,trials_gf", flush=True)
+    print("n,batch,factors,gflops_best,gflops_med,sol_best,sol_med,us_best,"
+          "mxu_bound_gf,trials_gf", flush=True)
     rng = np.random.default_rng(0)
 
     sizes = sorted(CONFIGS)
     if quick:
         sizes = [512, 4096, 65536]
+
+    # measured chip MXU peak (CLAUDE.md): 168 TF/s bf16; HIGHEST = 6 passes,
+    # Gauss = 3 real matmuls per complex contraction
+    MXU_BF16 = 168e12
 
     for n in sizes:
         batch = max(4, TOTAL // n)
@@ -69,22 +74,39 @@ def main():
         im = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
         flops = 5.0 * batch * n * math.log2(n)
         sol_t = 4 * batch * n * 4 / SPEC_BW
-        for factors in CONFIGS[n]:
-            try:
-                plan = pf.new_setup(n, pf.COMPLEX, factors=factors, strict=False)
-            except ValueError as e:
-                print(f"# skip {n} {factors}: {e}", flush=True)
-                continue
+        configs = list(CONFIGS[n])
+        policy = pf.new_setup(n, pf.COMPLEX, strict=False)  # current default
+        if policy.local_split is not None:
+            configs.append("policy-split")
+        for factors in configs:
+            if factors == "policy-split":
+                plan, fstr = policy, f"split{policy.factors[0]}x{policy.factors[1]}"
+                sum_r = sum(policy.factors)  # approx: sub-chains add more
+            else:
+                try:
+                    plan = pf.new_setup(n, pf.COMPLEX, factors=factors, strict=False)
+                except ValueError as e:
+                    print(f"# skip {n} {factors}: {e}", flush=True)
+                    continue
+                fstr = "x".join(map(str, factors))
+                sum_r = sum(factors)
+            # nominal MXU roofline for this chain: 36 * sum_r bf16 flops/elem
+            mxu_t = 36.0 * batch * n * sum_r / MXU_BF16
             fft = lambda r, i, p=plan: pf.fft.transform_ordered_split(p, (r, i), pf.FORWARD)
             ts = []
-            ntr = 2 if quick else 5
-            for _ in range(ntr):
-                ts.append(bench_op(fft, (re, im), k1=2, k2=10, repeats=2))
+            stale = 0
+            while len(ts) < (3 if quick else 8):
+                t = bench_op(fft, (re, im), k1=4, k2=20, repeats=2)
+                improved = not ts or t < min(ts) * 0.98
+                ts.append(t)
+                stale = 0 if improved else stale + 1
+                if stale >= 2 and len(ts) >= (2 if quick else 4):
+                    break
             best, med = min(ts), sorted(ts)[len(ts) // 2]
-            fstr = "x".join(map(str, factors))
             print(
                 f"{n},{batch},{fstr},{flops/best/1e9:.1f},{flops/med/1e9:.1f},"
                 f"{sol_t/best:.3f},{sol_t/med:.3f},{best*1e6:.1f},"
+                f"{flops/mxu_t/1e9:.0f},"
                 f"\"{[round(flops/t/1e9) for t in ts]}\"",
                 flush=True,
             )
