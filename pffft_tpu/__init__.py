@@ -42,6 +42,8 @@ from .fft import (
     zconvolve_no_accu,
     transform_split,
     transform_ordered_split,
+    transform_split_inplace,
+    transform_ordered_split_inplace,
     zconvolve_split,
     cfft,
     icfft,
@@ -88,6 +90,8 @@ __all__ = [
     "zconvolve_no_accu",
     "transform_split",
     "transform_ordered_split",
+    "transform_split_inplace",
+    "transform_ordered_split_inplace",
     "zconvolve_split",
     "conv",
     "dct",

@@ -304,6 +304,61 @@ def transform_split(plan: Plan, x, direction=FORWARD):
     return _jitted_split(plan, backward, False)(*x)
 
 
+@functools.lru_cache(maxsize=512)
+def _jitted_split_donated(plan: Plan, backward: bool, ordered: bool):
+    """Complex split transform with donated input planes.
+
+    The in-place analog of the C API's input==output aliasing
+    (pffft_transform accepts input == output,
+    /root/reference/src/pffft_priv_impl.h:1501,1522-1531): donating the
+    [..., N] planes lets XLA reuse the input HBM buffers for the output,
+    eliminating one allocation per plane at large N.  Complex only — the
+    real transform changes shape ([..., N] <-> [..., N/2] pair), so there
+    is no aliasable buffer.
+    """
+
+    if backward and not ordered:
+        def fn(re, im):
+            re = _stages.reorder_spectrum(re, plan.factors, to_canonical=True)
+            im = _stages.reorder_spectrum(im, plan.factors, to_canonical=True)
+            return _split.cfft_plan_split(plan, re, im, backward=True, ordered=True)
+    else:
+        def fn(re, im):
+            return _split.cfft_plan_split(
+                plan, re, im, backward=backward, ordered=ordered
+            )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+def transform_ordered_split_inplace(plan: Plan, x, direction=FORWARD):
+    """In-place split transform: DONATES the input planes to XLA.
+
+    Semantics parity with calling pffft_transform_ordered with input ==
+    output (legal per pffft.h:159-182, asserted bit-equal to the
+    out-of-place call in the reference's own bench,
+    /root/reference/benchmarks/bench_pffft.c:340-360).  The caller must
+    not reuse ``x`` afterwards (JAX invalidates donated buffers).
+    Real-kind plans fall back to the pure call (shape changes, nothing
+    to alias).
+    """
+
+    d = _plan._coerce_direction(direction)
+    backward = d == BACKWARD
+    if plan.is_real:
+        return transform_ordered_split(plan, x, direction)
+    return _jitted_split_donated(plan, backward, True)(*x)
+
+
+def transform_split_inplace(plan: Plan, x, direction=FORWARD):
+    """In-place variant of :func:`transform_split` (internal layout)."""
+
+    d = _plan._coerce_direction(direction)
+    backward = d == BACKWARD
+    if plan.is_real:
+        return transform_split(plan, x, direction)
+    return _jitted_split_donated(plan, backward, False)(*x)
+
+
 def zconvolve_split(plan: Plan, a, b, scaling=1.0, accumulate=None):
     """Split-format pointwise spectral multiply (internal layout), with the
     real-packing DC/Nyquist component-wise fixup (pffft_priv_impl.h:1534).

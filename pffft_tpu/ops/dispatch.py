@@ -138,6 +138,11 @@ def cfft_dispatch(
         )
         return rr.reshape(*lead, n), ii.reshape(*lead, n)
     if time_major:
+        if plan.local_split is None and re.ndim == 2:
+            # native time-major engine: batch stays on the lanes end-to-end
+            return _split.cfft_stages_split_tmajor(
+                re, im, plan.stages, backward=backward, ordered=True
+            )
         rr, ii = _split.cfft_plan_split(plan, re.T, im.T, backward=backward, ordered=True)
         return rr.T, ii.T
     return _split.cfft_plan_split(plan, re, im, backward=backward, ordered=True)

@@ -272,6 +272,46 @@ def cfft_stages_split(
     return ar.reshape(*lead, n), ai.reshape(*lead, n)
 
 
+def cfft_stages_split_tmajor(
+    re: jax.Array,
+    im: jax.Array,
+    stages: Sequence,
+    *,
+    backward: bool,
+    ordered: bool,
+) -> SplitPair:
+    """Staged complex FFT in TIME-MAJOR layout: planes [N, B] -> [N, B].
+
+    Mirror of :func:`cfft_stages_split` with the batch as the MINOR axis:
+    every intermediate keeps B on the vector lanes (full 128-lane
+    utilization regardless of the stage's remaining span m, which in the
+    batch-major layout becomes the minor axis and shrinks to 1 by the last
+    stage).  The DFT contraction runs over the sublane-side r axis; all
+    twiddle broadcasts are lane-uniform.  Same Stockham indexing, same
+    tables, same internal/ordered layout contract along the N axis.
+    """
+
+    n, b = re.shape
+    ar = re.reshape(1, n, b)
+    ai = im.reshape(1, n, b)
+    nstages = len(stages)
+    for idx, st in enumerate(stages):
+        l, r, m = st.l, st.r, st.m
+        if r == 1:
+            continue
+        consts = _stage_consts(st, backward)
+        ar = ar.reshape(l, r, m, b)
+        ai = ai.reshape(l, r, m, b)
+        if l > 1:
+            ar, ai = _apply_twiddle(ar, ai, consts[4], 0)
+        last = idx == nstages - 1
+        sub = "lrmb,rt->ltmb" if (last and not ordered) else "lrmb,rt->tlmb"
+        nr, ni = _contract_stage(ar, ai, consts, sub)
+        shape = (l * r, m, b)
+        ar, ai = nr.reshape(shape), ni.reshape(shape)
+    return ar.reshape(n, b), ai.reshape(n, b)
+
+
 def _stages_axis2_split(
     ar: jax.Array,
     ai: jax.Array,

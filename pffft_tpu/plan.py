@@ -268,6 +268,20 @@ def default_max_factor() -> int:
 _LOCAL_SPLIT_MIN_MF = 32
 _LOCAL_SPLIT_MAX_N = 1 << 24
 
+# Measured stage-chain table for the TPU backend (engine length -> factor
+# chain), from the round-3 on-chip factor matrix (scripts/r3_factors.py,
+# benchmarks/results/factors_r3.csv).  The engine is MXU-bound under
+# HIGHEST precision (6 bf16 passes x 3 Gauss matmuls = 36*r bf16 flops per
+# element per stage of factor r), so the best chain balances sum(r_i)
+# against per-stage pass overhead — fatter is NOT faster beyond r~64-128.
+# Sizes not listed fall back to the max_factor policy.  The runtime
+# MEASURE-mode analog (tune.tuned_setup) can override per-process.
+_TPU_FACTOR_TABLE: dict = {}
+
+
+def _tpu_table_factors(engine_n: int) -> Optional[Tuple[int, ...]]:
+    return _TPU_FACTOR_TABLE.get(engine_n)
+
 
 def _balanced_split(n: int) -> Tuple[int, int]:
     """n = n1 * n2, both 2/3/5-smooth, as balanced as possible."""
@@ -571,6 +585,16 @@ class Plan:
         kind = _coerce_kind(kind)
         if max_factor is None:
             max_factor = default_max_factor()
+            # measured per-size stage table (TPU only; env/arg overrides win)
+            if factors is None and "PFFFT_TPU_MAX_FACTOR" not in __import__("os").environ:
+                try:
+                    import jax
+
+                    if jax.default_backend() == "tpu":
+                        engine_n = n // 2 if kind == REAL else n
+                        factors = _tpu_table_factors(int(engine_n))
+                except Exception:  # pragma: no cover
+                    pass
         if strict:
             if not is_valid_size(n, kind):
                 raise ValueError(

@@ -27,13 +27,18 @@ import numpy as np
 from . import fft as _fft
 from . import plan as _plan
 
-__all__ = ["tuned_setup", "candidate_max_factors", "clear_tune_cache"]
+__all__ = [
+    "tuned_setup",
+    "candidate_max_factors",
+    "candidate_policies",
+    "clear_tune_cache",
+]
 
 _MEM_CACHE: dict = {}
 
 
 def candidate_max_factors(n: int, kind) -> Tuple[int, ...]:
-    """Distinct-stage-shape candidate policies for this size/backend."""
+    """Distinct-stage-shape max_factor candidates for this size/backend."""
 
     import jax
 
@@ -57,7 +62,60 @@ def candidate_max_factors(n: int, kind) -> Tuple[int, ...]:
     return tuple(seen.values())
 
 
-def _time_plan(n: int, kind, dtype, mf: int, batch: int, iters: int) -> float:
+def candidate_policies(n: int, kind) -> Tuple[tuple, ...]:
+    """Candidate plan policies: explicit stage CHAINS plus the four-step
+    split variants reachable through max_factor.
+
+    Each candidate is ("chain", factors) or ("mf", max_factor).  Chains
+    are enumerated by grouping the smooth factorization at several stage
+    caps (the MXU-bound sweet spot is r~32-128 under HIGHEST precision,
+    measured in benchmarks/results/factors_r3.csv), deduped by the factor
+    tuple; chains longer than 5 stages are dropped (pass overhead
+    dominates well before that).
+    """
+
+    import jax
+
+    kind = _plan._coerce_kind(kind)
+    engine_n = n // 2 if kind == _plan.REAL else n
+    out: dict = {}
+    if jax.default_backend() != "tpu":
+        for mf in (5, 64):
+            try:
+                p = _plan.Plan.create(n, kind, max_factor=mf, strict=False)
+            except ValueError:
+                continue
+            out.setdefault((p.factors, p.local_split is None), ("mf", mf))
+        return tuple(out.values())
+    for cap in (512, 256, 128, 96, 64, 48, 32, 16):
+        if cap * cap < engine_n and cap < 64:
+            continue  # tiny caps at large N => long chains, never win
+        try:
+            chain = _plan.plan_factors(engine_n, max_factor=cap)
+        except ValueError:
+            continue
+        if len(chain) > 5:
+            continue
+        out.setdefault((chain, True), ("chain", chain))
+    # four-step split variants (local_split plans), via the mf path
+    for mf in (128, 64):
+        try:
+            p = _plan.Plan.create(n, kind, max_factor=mf, strict=False)
+        except ValueError:
+            continue
+        if p.local_split is not None:
+            out.setdefault((p.factors, False), ("mf", mf))
+    return tuple(out.values())
+
+
+def _policy_plan(n: int, kind, dtype, policy) -> _plan.Plan:
+    tag, val = policy
+    if tag == "chain":
+        return _plan.Plan.create(n, kind, dtype, factors=tuple(val), strict=False)
+    return _plan.Plan.create(n, kind, dtype, max_factor=int(val), strict=False)
+
+
+def _time_plan(n: int, kind, dtype, policy, batch: int, iters: int) -> float:
     """Seconds per batched forward transform of the policy's complex
     engine (deferred-runtime-safe: device-chained loop, full-reduction
     fetch, two-point slope).  REAL plans add a fixed policy-independent
@@ -67,7 +125,7 @@ def _time_plan(n: int, kind, dtype, mf: int, batch: int, iters: int) -> float:
     import jax.numpy as jnp
 
     engine_n = n // 2 if _plan._coerce_kind(kind) == _plan.REAL else n
-    eng = _plan.Plan.create(engine_n, _plan.COMPLEX, dtype, max_factor=mf, strict=False)
+    eng = _policy_plan(engine_n, _plan.COMPLEX, dtype, policy)
     rng = np.random.default_rng(0)
     rdt = np.dtype(dtype)  # probe with the plan's real dtype, not always f32
     re = jnp.asarray(rng.standard_normal((batch, eng.engine_n)).astype(rdt))
@@ -128,7 +186,7 @@ def tuned_setup(
     kind = _plan._coerce_kind(kind)
     key = (jax.default_backend(), int(n), kind.value, np.dtype(dtype).name)
     if key in _MEM_CACHE:
-        return _plan.Plan.create(n, kind, dtype, max_factor=_MEM_CACHE[key])
+        return _policy_plan(n, kind, dtype, _MEM_CACHE[key])
 
     path = _disk_cache_path()
     skey = ":".join(map(str, key))
@@ -137,30 +195,48 @@ def tuned_setup(
             with open(path) as f:
                 disk = json.load(f)
             if skey in disk:
-                _MEM_CACHE[key] = int(disk[skey])
-                return _plan.Plan.create(n, kind, dtype, max_factor=_MEM_CACHE[key])
+                _MEM_CACHE[key] = _coerce_policy(disk[skey])
+                return _policy_plan(n, kind, dtype, _MEM_CACHE[key])
         except Exception:
             pass
 
-    cands = tuple(candidates) if candidates else candidate_max_factors(n, kind)
-    best_mf, best_t = None, float("inf")
-    for mf in cands:
-        t = _time_plan(n, kind, dtype, mf, batch, iters)
+    if candidates:
+        # legacy surface: a sequence of max_factor ints, or policy tuples
+        cands = tuple(
+            c if isinstance(c, tuple) and c and c[0] in ("mf", "chain") else ("mf", int(c))
+            for c in candidates
+        )
+    else:
+        cands = candidate_policies(n, kind)
+    best_pol, best_t = None, float("inf")
+    for pol in cands:
+        t = _time_plan(n, kind, dtype, pol, batch, iters)
         if t < best_t:
-            best_mf, best_t = mf, t
-    if best_mf is None:  # pragma: no cover
+            best_pol, best_t = pol, t
+    if best_pol is None:  # pragma: no cover
         return _plan.Plan.create(n, kind, dtype)
 
-    _MEM_CACHE[key] = best_mf
+    _MEM_CACHE[key] = best_pol
     if path:
         try:
             disk = {}
             if os.path.exists(path):
                 with open(path) as f:
                     disk = json.load(f)
-            disk[skey] = best_mf
+            disk[skey] = list(best_pol if best_pol[0] == "mf" else ("chain", list(best_pol[1])))
             with open(path, "w") as f:
                 json.dump(disk, f, indent=1)
         except Exception:
             pass
-    return _plan.Plan.create(n, kind, dtype, max_factor=best_mf)
+    return _policy_plan(n, kind, dtype, best_pol)
+
+
+def _coerce_policy(v) -> tuple:
+    """Disk-cache value -> policy tuple (back-compat: bare ints = mf)."""
+
+    if isinstance(v, (int, float)):
+        return ("mf", int(v))
+    tag, val = v
+    if tag == "chain":
+        return ("chain", tuple(int(x) for x in val))
+    return ("mf", int(val))

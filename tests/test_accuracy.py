@@ -309,3 +309,58 @@ def test_split_twiddle_tables_match_dense():
         sp._TW_SPLIT_MIN = orig_min
         sp._stage_consts.cache_clear()
         sp._fourstep_tw_consts.cache_clear()
+
+
+def test_inplace_donated_matches_fresh():
+    """In-place (donated-buffer) == out-of-place, the reference bench's
+    own assertion (/root/reference/benchmarks/bench_pffft.c:340-360)."""
+
+    import jax.numpy as jnp
+
+    import pffft_tpu as pf
+
+    n = 1024
+    plan = pf.new_setup(n, pf.COMPLEX)
+    rng = np.random.default_rng(7)
+    re_np = rng.standard_normal((4, n)).astype(np.float32)
+    im_np = rng.standard_normal((4, n)).astype(np.float32)
+    fresh = pf.transform_ordered_split(plan, (jnp.asarray(re_np), jnp.asarray(im_np)))
+    fr, fi = np.asarray(fresh[0]), np.asarray(fresh[1])
+    # donated call: pass freshly-created device buffers (they are consumed)
+    don = pf.transform_ordered_split_inplace(
+        plan, (jnp.asarray(re_np), jnp.asarray(im_np))
+    )
+    assert np.array_equal(fr, np.asarray(don[0]))
+    assert np.array_equal(fi, np.asarray(don[1]))
+    # internal-layout variant too
+    fresh_u = pf.transform_split(plan, (jnp.asarray(re_np), jnp.asarray(im_np)))
+    don_u = pf.transform_split_inplace(plan, (jnp.asarray(re_np), jnp.asarray(im_np)))
+    assert np.array_equal(np.asarray(fresh_u[0]), np.asarray(don_u[0]))
+    assert np.array_equal(np.asarray(fresh_u[1]), np.asarray(don_u[1]))
+
+
+def test_tmajor_engine_matches_batch_major():
+    """Time-major [N, B] engine == batch-major [B, N] engine (all layouts)."""
+
+    import jax.numpy as jnp
+
+    import pffft_tpu as pf
+    from pffft_tpu.ops import split as sp
+
+    rng = np.random.default_rng(3)
+    for n, factors in [(512, (32, 16)), (1024, (16, 8, 8)), (240, (15, 16))]:
+        plan = pf.new_setup(n, pf.COMPLEX, factors=factors, strict=False)
+        b = 8
+        re = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+        im = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+        for backward in (False, True):
+            for ordered in (False, True):
+                ar, ai = sp.cfft_stages_split(
+                    re, im, plan.stages, backward=backward, ordered=ordered
+                )
+                tr, ti = sp.cfft_stages_split_tmajor(
+                    re.T, im.T, plan.stages, backward=backward, ordered=ordered
+                )
+                assert np.allclose(np.asarray(ar), np.asarray(tr).T, atol=1e-3), (
+                    n, factors, backward, ordered)
+                assert np.allclose(np.asarray(ai), np.asarray(ti).T, atol=1e-3)
