@@ -4,11 +4,16 @@ Headline metric (BASELINE.md north star): batched complex-FFT throughput in
 GFLOP/s on one TPU chip, fftw.org speed convention (5 * N * log2(N) flops
 per complex transform, /root/reference/benchmarks/bench_pffft.c:606).
 
-``vs_baseline`` is the fraction of speed-of-light: the FFT is HBM-bound, so
-the bound is (bytes in + bytes out) / measured peak HBM bandwidth, where
-peak bandwidth is measured with a saturating elementwise kernel (the
-calibration-run analog of bench_pffft.c:495-530).  1.0 = the FFT costs
-exactly one read + one write of its operands at peak bandwidth.
+``vs_baseline`` is the MEDIAN-of-trials fraction of speed-of-light: the
+bound is (bytes in + bytes out) at the v5e spec HBM bandwidth — 1.0 = the
+FFT costs exactly one read + one write of its operands at spec bandwidth.
+The engine's 2-stage chain makes (at least) 2 memory passes, so the
+pass-count roofline is 0.5; the MXU roofline with the lane-concat
+contraction (6 bf16 passes, K=128 full-array) is ~1.07 at this shape, so
+HBM passes are the binding bound.  Median (not best-of-N) per the round-2
+review: this backend's per-trial throughput varies 2-4x under service
+contention with physically impossible highs, making best-of a
+lucky-window statistic.
 
 Timing uses benchmarks/timing.py (device-side loop chaining + forced fetch
 + two-point slope): the TPU runtime defers execution, so naive dispatch
@@ -55,23 +60,20 @@ def main():
     peak_bw = measure_peak_bw(128 << 20 if quick else 512 << 20)
 
     fft = lambda r, i: pf.fft.transform_ordered_split(plan, (r, i), pf.FORWARD)
-    # Adaptive best-of-N: this backend's throughput varies ~2x between
-    # trials (service contention), so a fixed best-of-3 can land on a bad
-    # streak (round 1 recorded 665 GF/s vs 1717 measured elsewhere).  Keep
-    # trialling until the best stops improving (3 consecutive non-improving
-    # trials) or the cap; record every trial so regressions are
-    # distinguishable from contention in the archived JSON.
+    # Fixed trial count, MEDIAN reported as the headline (value /
+    # vs_baseline): this backend's throughput varies ~2-4x between trials
+    # (service contention) and also produces physically impossible highs,
+    # so best-of-N is a lucky-window statistic (round-2 VERDICT.md).  The
+    # median of a fixed N is robust in both directions; every trial is
+    # recorded so regressions are distinguishable from contention.
     trials = []
-    stale = 0
-    max_trials = 3 if quick else 16
+    max_trials = 3 if quick else 12
     while len(trials) < max_trials:
-        t = bench_op(fft, (re, im), k1=2 if quick else 4, k2=10 if quick else 20)
-        improved = not trials or t < min(trials) * 0.98
-        trials.append(t)
-        stale = 0 if improved else stale + 1
-        if stale >= 3 and len(trials) >= (2 if quick else 6):
-            break
-    t_fft = min(trials)
+        trials.append(
+            bench_op(fft, (re, im), k1=2 if quick else 4, k2=10 if quick else 40)
+        )
+    t_fft = sorted(trials)[len(trials) // 2]
+    t_best = min(trials)
 
     bytes_min = 4 * batch * n * 4  # 2 planes in + 2 planes out, f32
     sol_time = bytes_min / SPEC_BW_V5E
@@ -90,11 +92,13 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"batched cfft N={n} B={batch} GFLOP/s ({dev.platform})",
+                "metric": f"batched cfft N={n} B={batch} GFLOP/s median-of-{len(trials)} ({dev.platform})",
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(sol_time / t_fft, 4),
-                "speed_of_light_note": "vs_baseline = fraction of the TPU v5e spec HBM roofline (819 GB/s): 1.0 = one read+write of the operands at spec bandwidth",
+                "speed_of_light_note": "vs_baseline = MEDIAN-of-trials fraction of the TPU v5e spec HBM roofline (819 GB/s): 1.0 = one read+write of the operands at spec bandwidth.  The 2-stage engine makes 2 memory passes, so the pass-count bound is 0.5; best-of-trials is also reported (lucky-window upper bound).",
+                "best_gflops": round(flops / t_best / 1e9, 2),
+                "best_vs_baseline": round(sol_time / t_best, 4),
                 "measured_probe_bw_GBps": round(peak_bw / 1e9, 1),
                 "ns_per_transform": round(t_fft / batch * 1e9, 1),
                 "trial_gflops": [round(flops / t / 1e9, 1) for t in trials],

@@ -226,10 +226,13 @@ def main():
                     t = t_re
                     sol = (bytes_min / SPEC_BW_V5E) / t
             spread = (max(ts) - min(ts)) / min(ts) if len(ts) > 1 else 0.0
+            t_med = sorted(ts)[len(ts) // 2]
             row = dict(kind=kind, n=n, batch=batch,
                        ns_per=round(t / batch * 1e9, 2),
                        gflops=round(mf * batch / t / 1e9, 1),
+                       gflops_med=round(mf * batch / t_med / 1e9, 1),
                        sol=round(sol, 3),
+                       sol_med=round((bytes_min / SPEC_BW_V5E) / t_med, 3),
                        bw_artifact=bool(sol > 1.0),
                        trials=trials, spread=round(spread, 3),
                        prep_ms=round(prep_ms, 2),

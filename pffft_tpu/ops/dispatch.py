@@ -73,6 +73,27 @@ def set_engine(name: Optional[str]) -> None:
 
 _WARNED_ENV_FALLBACK = set()
 
+# Measured engine table: (backend, n) -> engine, filled from the archived
+# interleaved-round comparisons (benchmarks/bench_engines.py ->
+# benchmarks/results/engines_r*.csv).  The analog of the reference's
+# runtime dispatcher table (/root/reference/benchmarks/pf_conv_dispatcher.cpp:18-60).
+# Round-2/3 measurements: the XLA stage engine wins every size on this
+# backend (the fused kernel pays 4/3 MXU work for its single HBM pass and
+# the radix kernel is VPU-bound), so the shipped table is all-xla; the
+# mechanism is live so a future backend can reroute without code changes.
+_MEASURED_TABLE: dict = {
+    ("tpu", 1024): "xla",
+    ("tpu", 4096): "xla",
+}
+
+
+def record_engine(backend: str, n: int, engine: str) -> None:
+    """Record a measured winner (used by bench_engines --apply and tests)."""
+
+    if engine not in ("xla", "fused2", "pallas"):
+        raise ValueError(f"unknown engine {engine!r}")
+    _MEASURED_TABLE[(backend, int(n))] = engine
+
 
 def select_engine(plan: _plan.Plan, batch: int, time_major: bool) -> str:
     avail = available_engines(plan, batch, time_major)
@@ -103,9 +124,13 @@ def select_engine(plan: _plan.Plan, batch: int, time_major: bool) -> str:
                 stacklevel=2,
             )
         return "xla"
+    # measured table first (per backend + engine length), then the
     # measured default: the XLA Gauss fat-stage path wins on current
-    # hardware (0.98 SoL at N=4096, scripts/r2_perf1.py; the fused kernel's
+    # hardware (scripts/r2_perf1.py, engines_r3; the fused kernel's
     # concat matmuls cost 4/3 the MXU work — see benchmarks/results/)
+    measured = _MEASURED_TABLE.get((jax.default_backend(), plan.engine_n))
+    if measured is not None and measured in avail:
+        return measured
     return "xla"
 
 

@@ -131,14 +131,27 @@ def _tw_consts_from_table(tw: np.ndarray, period: int, backward: bool):
 
 def cmul_mode() -> str:
     """Complex-contraction strategy: ``"gauss"`` (3 real matmuls via Gauss's
-    trick) or ``"4mul"`` (textbook 4 real matmuls).
+    trick), ``"4mul"`` (textbook 4 real matmuls), ``"concat"`` (one
+    lane-concat real matmul [ar|ai] @ [[Wr,Wi],[-Wi,Wr]]), or ``"auto"``
+    (per-stage: concat when r <= 64, else gauss).
 
-    On the MXU each stage is HIGHEST-precision matmul-bound, so Gauss's
-    k1=(ar+ai)W_re, k2=ar(W_im-W_re), k3=ai(W_re+W_im) cuts MXU work 25%
-    for one extra VPU add — the TPU-era analog of the reference hand-tuning
-    VCPLXMUL (pf_float.h:75-81).  Slightly larger intermediates (|a|·2·|W|)
-    cost ~1 bit; measured carrier-test dynamic range stays above the 140 dB
-    bound.  Overridable via PFFFT_TPU_CMUL=gauss|4mul or set_cmul_mode.
+    On the MXU each stage is HIGHEST-precision matmul-bound (6 bf16 passes
+    per f32 matmul) and the systolic array contracts 128 lanes per pass, so
+    a K<128 matmul pads its contraction dim and wastes the array.  Cost per
+    element per stage in padded bf16 flops:
+
+        gauss   3 matmuls * max(r, 128)   (k1=(ar+ai)Wre, k2, k3 — the
+                TPU-era analog of the reference's VCPLXMUL hand-tuning,
+                pf_float.h:75-81; 25% fewer MACs than 4mul pre-padding)
+        concat  1 matmul  * max(2r, 128)  (full complex product in one
+                K=2r contraction; for r <= 64 this is the ONLY form that
+                fills all 128 MXU lanes: 3x less padded work than gauss)
+
+    So for r <= 64 concat wins (K=2r <= 128: one full-array pass), and for
+    r >= 128 gauss wins (3*r < 2*2r).  ``"auto"`` applies that rule per
+    stage.  Accuracy: concat is the 4mul accumulation class (no Gauss
+    |a|*2|W| growth) — measured dynrange >= gauss's.  Overridable via
+    PFFFT_TPU_CMUL=gauss|4mul|concat|auto or set_cmul_mode.
     """
 
     if _CMUL_FORCED is not None:
@@ -146,13 +159,13 @@ def cmul_mode() -> str:
     import os
 
     env = os.environ.get("PFFFT_TPU_CMUL")
-    if env in ("gauss", "4mul"):
+    if env in ("gauss", "4mul", "concat", "auto"):
         return env
-    # Backend policy, like plan.default_max_factor: Gauss costs ~1 bit of
-    # rounding, which the TPU fat-stage policy absorbs (153 dB measured,
-    # 13 dB over the bound) but CPU radix-chain plans cannot (measured
-    # 139.4 dB at N=160 — just under the reference's 140 dB bound).
-    return "gauss" if jax.default_backend() == "tpu" else "4mul"
+    # Backend policy, like plan.default_max_factor: the MXU padding law
+    # above for TPU.  CPU keeps 4mul (true f32 FMA; Gauss's growth costs
+    # ~1 bit and measured 139.4 dB at N=160 — just under the reference's
+    # 140 dB carrier bound).
+    return "auto" if jax.default_backend() == "tpu" else "4mul"
 
 
 _CMUL_FORCED = None
@@ -160,7 +173,7 @@ _CMUL_FORCED = None
 
 def set_cmul_mode(mode) -> None:
     global _CMUL_FORCED
-    if mode not in (None, "gauss", "4mul"):
+    if mode not in (None, "gauss", "4mul", "concat", "auto"):
         raise ValueError(f"unknown cmul mode {mode!r}")
     _CMUL_FORCED = mode
 
@@ -174,7 +187,28 @@ def _contract_stage(ar, ai, consts, sub: str) -> SplitPair:
     """
 
     dr, di, dsum, ddiff, _ = consts
-    if cmul_mode() == "gauss":
+    mode = cmul_mode()
+    if mode == "auto":
+        mode = "concat" if dr.shape[0] <= 64 else "gauss"
+    if mode == "concat":
+        # One K=2r matmul: [.. ar|ai ..] @ [[Wr, Wi], [-Wi, Wr]] -> re|im
+        # stacked along the output t axis.  For r <= 64 the doubled
+        # contraction dim fills the 128-lane MXU that gauss/4mul would pad.
+        in0 = sub.split(",", 1)[0]
+        out = sub.split("->", 1)[1]
+        r_ax, t_ax = in0.index("r"), out.index("t")
+        t = dr.shape[1]
+        m = jnp.asarray(
+            np.block([[dr, di], [-di, dr]]), dtype=ar.dtype
+        )
+        y = jnp.einsum(sub, jnp.concatenate([ar, ai], axis=r_ax), m,
+                       precision=_PRECISION)
+        idx = [slice(None)] * y.ndim
+        idx[t_ax] = slice(0, t)
+        yr = y[tuple(idx)]
+        idx[t_ax] = slice(t, 2 * t)
+        return yr, y[tuple(idx)]
+    if mode == "gauss":
         jdr = jnp.asarray(dr, dtype=ar.dtype)
         jdsum = jnp.asarray(dsum, dtype=ar.dtype)
         jddiff = jnp.asarray(ddiff, dtype=ar.dtype)

@@ -276,7 +276,35 @@ _LOCAL_SPLIT_MAX_N = 1 << 24
 # against per-stage pass overhead — fatter is NOT faster beyond r~64-128.
 # Sizes not listed fall back to the max_factor policy.  The runtime
 # MEASURE-mode analog (tune.tuned_setup) can override per-process.
-_TPU_FACTOR_TABLE: dict = {}
+#
+# Median-of-interleaved-trials winners (factors_r3.csv + ab_r3, v5e):
+#   256    (256,)        0.450 SoL med (single dense stage, 2x over (16,16))
+#   512    (32,16)       0.310 (ab_r3 interleaved; beats dense-512's 0.222)
+#   1024   (64,16)       0.265/0.333 (beats balanced (32,32) 0.221)
+#   2048   (64,32)       0.276
+#   4096   (64,64)       0.378 (ab_r3; default balanced — listed for pinning)
+#   16384  (128,128)     0.320 (= default balanced)
+#   32768  (256,128)     0.180 (= default balanced)
+#   65536  (256,256)     0.189 (ab_r3; chain beats (128,128,4) 0.134)
+#   131072 (128,128,8)   0.125 (3-stage beats fat (512,256) 0.115)
+#   262144 (128,128,16)  0.168 (beats fat (512,512) 0.089 ~2x)
+#   1048576 (256,256,16) 0.122 (beats (128,128,64) 0.105)
+# N=8192 is deliberately absent: every measured chain sat at ~0.12 SoL
+# in the serial matrix (suspected contention block); re-probed in
+# scripts/r3_n8192.py before pinning.
+_TPU_FACTOR_TABLE: dict = {
+    256: (256,),
+    512: (32, 16),
+    1024: (64, 16),
+    2048: (64, 32),
+    4096: (64, 64),
+    16384: (128, 128),
+    32768: (256, 128),
+    65536: (256, 256),
+    131072: (128, 128, 8),
+    262144: (128, 128, 16),
+    1048576: (256, 256, 16),
+}
 
 
 def _tpu_table_factors(engine_n: int) -> Optional[Tuple[int, ...]]:

@@ -273,6 +273,44 @@ def test_gauss_cmul_matches_4mul():
         sp.set_cmul_mode(None)
 
 
+def test_concat_cmul_matches_4mul():
+    """Lane-concat contraction ([ar|ai] @ [[Wr,Wi],[-Wi,Wr]], the TPU
+    default for stages with r <= 64) vs the 4-matmul form: same
+    accumulation class, so agreement to a few ulps; auto mode mixes
+    concat (r <= 64) and gauss (r >= 128) per stage."""
+
+    import jax.numpy as jnp
+    import pffft_tpu as pf
+    from pffft_tpu.ops import split as sp
+
+    r = np.random.default_rng(5)
+    try:
+        for n, factors in [(1024, (64, 16)), (4096, (64, 64)),
+                           (65536, (64, 64, 16)), (960, (8, 8, 15)),
+                           (65536, (256, 64, 4))]:
+            plan = pf.new_setup(n, pf.COMPLEX, factors=factors, strict=False)
+            re = jnp.asarray(r.standard_normal((2, n)).astype(np.float32))
+            im = jnp.asarray(r.standard_normal((2, n)).astype(np.float32))
+            sp.set_cmul_mode("4mul")
+            r4r, r4i = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+            scale = float(np.abs(np.asarray(r4r)).max())
+            ref = np.fft.fft(
+                np.asarray(re).astype(np.float64) + 1j * np.asarray(im).astype(np.float64)
+            )
+            for mode in ("concat", "auto"):
+                sp.set_cmul_mode(mode)
+                rcr, rci = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+                assert np.abs(np.asarray(rcr) - np.asarray(r4r)).max() < 2e-5 * scale
+                assert np.abs(np.asarray(rci) - np.asarray(r4i)).max() < 2e-5 * scale
+                got = np.asarray(rcr) + 1j * np.asarray(rci)
+                assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+                # roundtrip through the same mode
+                br, bi = sp.cfft_plan_split(plan, rcr, rci, backward=True, ordered=True)
+                assert np.abs(np.asarray(br) / n - np.asarray(re)).max() < 1e-5 * scale
+    finally:
+        sp.set_cmul_mode(None)
+
+
 def test_split_twiddle_tables_match_dense():
     """Forcing the split twiddle factorization (T = A*B, used for large-N
     tables that would otherwise be giant jit constants) must reproduce the

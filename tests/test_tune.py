@@ -78,3 +78,20 @@ def test_plan_identity_distinguishes_chain_from_split():
     for got in ((ar, ai), (br, bi)):
         g = np.asarray(got[0], np.float64) + 1j * np.asarray(got[1], np.float64)
         assert np.abs(g - ref).max() < 1e-2 * np.abs(ref).max()
+
+
+def test_measured_engine_table_consulted():
+    import jax
+
+    from pffft_tpu.ops import dispatch as dp
+
+    plan = pf.new_setup(1024, pf.COMPLEX, max_factor=32)
+    backend = jax.default_backend()
+    # the measured table reroutes when (and only when) the engine is available
+    dp.record_engine(backend, 1024, "xla")
+    assert dp.select_engine(plan, 64, False) == "xla"
+    dp.record_engine(backend, 1024, "fused2")
+    got = dp.select_engine(plan, 64, False)
+    avail = dp.available_engines(plan, 64, False)
+    assert got == ("fused2" if "fused2" in avail else "xla")
+    dp.record_engine(backend, 1024, "xla")  # restore
