@@ -121,6 +121,23 @@ def _competitors(kind, n, batch, xnp, znp, backend):
         out[f"jnpfft_{backend}"] = round(mf / t / 1e9, 2)
     except Exception:
         out[f"jnpfft_{backend}"] = None
+
+    # Independent on-chip competitor: planar radix-2 Stockham composed of
+    # jnp elementwise ops only (benchmarks/competitor_jnp.py) — runs on
+    # the TPU backend where no third-party FFT can (no complex dtypes).
+    if kind == "cplx" and n & (n - 1) == 0:
+        try:
+            import jax.numpy as jnp
+
+            from competitor_jnp import planar_fft_radix2
+            from timing import bench_op
+
+            rr = jnp.asarray(znp.real.copy())
+            ii = jnp.asarray(znp.imag.copy())
+            t = bench_op(lambda a, b: planar_fft_radix2(a, b), (rr, ii))
+            out[f"planar_r2_{backend}"] = round(mf / t / 1e9, 2)
+        except Exception:
+            out[f"planar_r2_{backend}"] = None
     return out
 
 

@@ -14,11 +14,13 @@ SIMD headers, link-time multi-arch libraries with a runtime dispatcher
   * ``pallas`` — the radix<=5 VPU butterfly kernel (ops/pallas_fft.py),
     time-major; covers thin-stage (CPU-policy) plans only.
 
-Measured guidance on TPU v5e (scripts/r2_perf*.py, benchmarks/results/):
-the XLA Gauss path reaches 0.98 SoL at the N=4096 headline and is the
-measured default; the registry exists so kernels can be forced
-(``set_engine`` / PFFFT_TPU_ENGINE) and so a future measured table can
-reroute without touching call sites.
+Measured guidance on TPU v5e (benchmarks/results/concat_r3.txt,
+engines_r*.csv; median-of-interleaved-trials): the XLA stage path with
+the auto cmul policy (lane-concat contraction for r<=64 stages,
+ops/split.py:cmul_mode) is the winner at every measured size and is the
+default; the registry exists so kernels can be forced (``set_engine`` /
+PFFFT_TPU_ENGINE) and so the measured table (``record_engine``) can
+reroute per (backend, N) without touching call sites.
 """
 
 from __future__ import annotations

@@ -277,27 +277,29 @@ _LOCAL_SPLIT_MAX_N = 1 << 24
 # Sizes not listed fall back to the max_factor policy.  The runtime
 # MEASURE-mode analog (tune.tuned_setup) can override per-process.
 #
-# Median-of-interleaved-trials winners (factors_r3.csv + ab_r3, v5e):
-#   256    (256,)        0.450 SoL med (single dense stage, 2x over (16,16))
-#   512    (32,16)       0.310 (ab_r3 interleaved; beats dense-512's 0.222)
-#   1024   (64,16)       0.265/0.333 (beats balanced (32,32) 0.221)
-#   2048   (64,32)       0.276
-#   4096   (64,64)       0.378 (ab_r3; default balanced — listed for pinning)
-#   16384  (128,128)     0.320 (= default balanced)
-#   32768  (256,128)     0.180 (= default balanced)
-#   65536  (256,256)     0.189 (ab_r3; chain beats (128,128,4) 0.134)
-#   131072 (128,128,8)   0.125 (3-stage beats fat (512,256) 0.115)
-#   262144 (128,128,16)  0.168 (beats fat (512,512) 0.089 ~2x)
-#   1048576 (256,256,16) 0.122 (beats (128,128,64) 0.105)
-# N=8192 is deliberately absent: every measured chain sat at ~0.12 SoL
-# in the serial matrix (suspected contention block); re-probed in
-# scripts/r3_n8192.py before pinning.
+# Median-of-interleaved-trials winners (factors_r3.csv + ab_r3 +
+# concat_r3.txt, v5e, cmul auto — concat for r<=64 stages):
+#   256    (16,16)       0.412 SoL med (concat; beats dense-256 0.366)
+#   512    (32,16)       0.466 (~tied with (64,8) 0.472)
+#   1024   (32,32)       0.538 (concat; beats (64,16) 0.464-0.470)
+#   2048   (64,32)       0.456-0.567 (both-mode windows)
+#   4096   (64,64)       0.317-0.378 (concat wins 6/8 both windows)
+#   8192   (128,64)      0.260 (the serial-matrix 0.12 "cliff" was a
+#                        contention block; interleaved re-probe is clean)
+#   16384  (128,128)     0.351-0.357
+#   32768  (256,128)     0.241
+#   65536  (256,256)     0.166-0.189 (chain beats (64,64,16) 0.149 —
+#                        3-stage chains are pass-bound, not MXU-bound)
+#   131072 (128,128,8)   0.182 (8/8 wins vs (64,64,32))
+#   262144 (128,128,16)  0.190 (8/8 wins vs (64,64,64))
+#   1048576 (256,256,16) 0.103 (8/8 wins vs 64-chains)
 _TPU_FACTOR_TABLE: dict = {
-    256: (256,),
+    256: (16, 16),
     512: (32, 16),
-    1024: (64, 16),
+    1024: (32, 32),
     2048: (64, 32),
     4096: (64, 64),
+    8192: (128, 64),
     16384: (128, 128),
     32768: (256, 128),
     65536: (256, 256),

@@ -145,3 +145,27 @@ def test_unscaled_convention():
         y = pf.transform_ordered(plan, jnp.asarray(x))
         z = np.asarray(pf.transform_ordered(plan, y, pf.BACKWARD))
         np.testing.assert_allclose(z, n * x, atol=2e-3 * n * np.max(np.abs(x)) * 1e-3 + 1e-2)
+
+
+def test_competitor_planar_radix2_vs_numpy():
+    """The --compare column's independent on-chip competitor
+    (benchmarks/competitor_jnp.py) must itself be a correct FFT."""
+
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks"))
+    from competitor_jnp import planar_fft_radix2
+
+    rng = np.random.default_rng(11)
+    for n in (16, 256, 2048):
+        x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+        r, i = planar_fft_radix2(
+            np.float32(x.real).copy(), np.float32(x.imag).copy()
+        )
+        got = np.asarray(r, np.float64) + 1j * np.asarray(i, np.float64)
+        ref = np.fft.fft(x)
+        assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
+        br, _ = planar_fft_radix2(r, i, backward=True)
+        assert np.abs(np.asarray(br) / n - x.real).max() < 1e-5 * np.abs(x).max()
