@@ -64,7 +64,7 @@ def main():
 
         engines = []
 
-        for mode in ("gauss", "4mul"):
+        for mode in ("auto", "gauss", "4mul"):
             def step(r, i, p=plan, m=mode):
                 sp.set_cmul_mode(m)
                 try:

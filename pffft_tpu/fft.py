@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import plan as _plan
+from .ops import dispatch as _dispatch
 from .ops import split as _split
 from .ops import stages as _stages
 
@@ -66,7 +67,7 @@ def _complex_transform(p: Plan, x: jax.Array, backward: bool, ordered: bool) -> 
 
 def _real_forward_planar(p: Plan, x: jax.Array) -> "tuple[jax.Array, jax.Array]":
     zr, zi = _split.pack_real_input_split(x.astype(p.dtype.type))
-    zr, zi = _split.cfft_plan_split(p, zr, zi, backward=False, ordered=True)
+    zr, zi = _dispatch.cfft_dispatch(p, zr, zi, backward=False)
     return _split.real_forward_split_planar(zr, zi, p.real_twiddle)
 
 
@@ -74,7 +75,7 @@ def _real_backward_planar(p: Plan, sr: jax.Array, si: jax.Array) -> jax.Array:
     zr, zi = _split.real_backward_split_planar(
         sr.astype(p.dtype.type), si.astype(p.dtype.type), p.real_twiddle
     )
-    wr, wi = _split.cfft_plan_split(p, zr, zi, backward=True, ordered=True)
+    wr, wi = _dispatch.cfft_dispatch(p, zr, zi, backward=True)
     return _split.interleave_to_real_split(wr, wi).astype(p.dtype.type)
 
 
@@ -270,7 +271,12 @@ def _jitted_split(plan: Plan, backward: bool, ordered: bool):
         def fn(re, im):
             re = _stages.reorder_spectrum(re, plan.factors, to_canonical=True)
             im = _stages.reorder_spectrum(im, plan.factors, to_canonical=True)
-            return _split.cfft_plan_split(plan, re, im, backward=True, ordered=True)
+            return _dispatch.cfft_dispatch(plan, re, im, backward=True)
+    elif ordered:
+        # ordered transforms go through the measured engine dispatcher
+        # (ops/dispatch.py: xla stage engine / fused2 / pallas per table)
+        def fn(re, im):
+            return _dispatch.cfft_dispatch(plan, re, im, backward=backward)
     else:
         def fn(re, im):
             return _split.cfft_plan_split(
@@ -321,7 +327,10 @@ def _jitted_split_donated(plan: Plan, backward: bool, ordered: bool):
         def fn(re, im):
             re = _stages.reorder_spectrum(re, plan.factors, to_canonical=True)
             im = _stages.reorder_spectrum(im, plan.factors, to_canonical=True)
-            return _split.cfft_plan_split(plan, re, im, backward=True, ordered=True)
+            return _dispatch.cfft_dispatch(plan, re, im, backward=True)
+    elif ordered:
+        def fn(re, im):
+            return _dispatch.cfft_dispatch(plan, re, im, backward=backward)
     else:
         def fn(re, im):
             return _split.cfft_plan_split(
