@@ -28,8 +28,9 @@ Constructions (each verified against the oracle in tests/test_dct.py):
   dst2(x) = flip(dct2(x * (-1)^n));  dst3(x) = (-1)^k * dct3(flip(x)).
 
 Size support: the internal FFT length (2(N-1), 2(N+1), or N) must be
-2/3/5-smooth; dct2/dct3/dst2/dst3 additionally need even N (for the
-slice-based un-permutation).
+2/3/5-smooth — including odd N for dct2/dct3/dst2/dst3 (the Makhoul
+permutation and its inverse are slice/concat constructions for any N;
+the FFTPACK oracle's cosq/sinq accept any N and so does this surface).
 """
 
 from __future__ import annotations
@@ -88,11 +89,12 @@ def dst1(x: jax.Array) -> jax.Array:
 
 
 def dct2(x: jax.Array) -> jax.Array:
-    """DCT-II (FFTPACK cosqb), batched (even N)."""
+    """DCT-II (FFTPACK cosqb), batched.  Any 2/3/5-smooth N: the Makhoul
+    even-odd permutation [x0, x2, .., x_last_even, .., x3, x1] and the
+    e^{-i pi k/2N} modulation are valid for odd N too (odd N just makes
+    the even-index half one element longer)."""
 
     n = x.shape[-1]
-    if n % 2:
-        raise ValueError("dct2 requires even N")
     v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
     vr, vi = _cfft_split(v, jnp.zeros_like(v), n, x.dtype)
     cr, sr = _halfsec_tables(n, np.dtype(x.dtype).name)
@@ -101,11 +103,11 @@ def dct2(x: jax.Array) -> jax.Array:
 
 
 def dct3(x: jax.Array) -> jax.Array:
-    """DCT-III (FFTPACK cosqf), batched (even N); dct3(dct2(x)) == 2N x."""
+    """DCT-III (FFTPACK cosqf), batched; dct3(dct2(x)) == 2N x.  Any
+    2/3/5-smooth N (see dct2; the un-permute interleave handles the odd
+    case's extra even-index element)."""
 
     n = x.shape[-1]
-    if n % 2:
-        raise ValueError("dct3 requires even N")
     cr, sr = _halfsec_tables(n, np.dtype(x.dtype).name)
     cr = jnp.asarray(cr)
     sr = jnp.asarray(sr)
@@ -114,10 +116,16 @@ def dct3(x: jax.Array) -> jax.Array:
     vr = cr * x + sr * xs
     vi = sr * x - cr * xs
     br, _ = _cfft_split(vr, vi, n, x.dtype, backward=True)  # unscaled IDFT * N
-    # un-permute: v[j] = y[2j] for j < N/2, v[N-1-j] = y[2j+1]
-    ev = br[..., : n // 2]
-    od = br[..., n // 2 :][..., ::-1]
-    return jnp.stack([ev, od], axis=-1).reshape(*x.shape[:-1], n)
+    # un-permute: out[2j] = v[j] (ceil(N/2) terms), out[2j+1] = v[N-1-j]
+    nh = (n + 1) // 2
+    ev = br[..., :nh]
+    od = br[..., nh:][..., ::-1]
+    pairs = jnp.stack([ev[..., : n // 2], od], axis=-1).reshape(
+        *x.shape[:-1], 2 * (n // 2)
+    )
+    if n % 2 == 0:
+        return pairs
+    return jnp.concatenate([pairs, ev[..., -1:]], axis=-1)
 
 
 def dst2(x: jax.Array) -> jax.Array:

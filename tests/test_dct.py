@@ -15,7 +15,7 @@ def _rng(seed=0):
 # N chosen so internal FFT lengths (2(N-1), 2(N+1), N) are 2/3/5-smooth
 DCT1_N = [9, 25, 65, 121]          # 2(N-1) = 16, 48, 128, 240
 DST1_N = [7, 24, 63, 127]          # 2(N+1) = 16, 50, 128, 256
-Q_N = [8, 16, 60, 128, 480]        # even, smooth
+Q_N = [8, 16, 60, 128, 480, 15, 45, 135, 375]  # even + odd, smooth
 
 
 @pytest.mark.parametrize("n", DCT1_N)
@@ -75,9 +75,10 @@ def test_fftpack_names():
     )
 
 
-def test_odd_n_rejected_for_quarterwave():
-    x = jnp.zeros(15)
-    with pytest.raises(ValueError):
-        d.dct2(x)
-    with pytest.raises(ValueError):
-        d.dct3(x)
+def test_odd_n_quarterwave_inverse_pairs():
+    # odd N accepted since round 3 (oracle cosq/sinq always accepted it)
+    n = 45
+    x = _rng(7).standard_normal(n).astype(np.float32)
+    xj = jnp.asarray(x)
+    np.testing.assert_allclose(np.asarray(d.dct3(d.dct2(xj))) / (2 * n), x, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.dst3(d.dst2(xj))) / (2 * n), x, atol=1e-4)
