@@ -147,11 +147,23 @@ def cmul_mode() -> str:
                 K=2r contraction; for r <= 64 this is the ONLY form that
                 fills all 128 MXU lanes: 3x less padded work than gauss)
 
-    So for r <= 64 concat wins (K=2r <= 128: one full-array pass), and for
-    r >= 128 gauss wins (3*r < 2*2r).  ``"auto"`` applies that rule per
-    stage.  Accuracy: concat is the 4mul accumulation class (no Gauss
-    |a|*2|W| growth) — measured dynrange >= gauss's.  Overridable via
-    PFFFT_TPU_CMUL=gauss|4mul|concat|auto or set_cmul_mode.
+    There is also ``"cstack"``: the stacked-channel chain engine
+    (_cfft_stages_split_cstack) — one einsum per middle stage contracting
+    (channel, r), no concat/slice relayout.
+
+    Measured regime dependence (v5e, benchmarks/results/cstack_r3.txt +
+    batch_r3.txt): in the HONEST large-payload plateau regime
+    (>= 64 MB/plane, +-1% reproducible trials) gauss wins or ties every
+    shape — concat is ~25% WORSE at (64,64) because its materialized
+    concat+slice is real HBM traffic, and cstack ties gauss at r <= 128
+    but loses at r = 256 and 3-stage chains (2 einsums at K=2r cost 4r
+    vs gauss's 3r).  The concat advantages measured at 16-34 MB/plane
+    payloads flip-flop between windows (that regime's timing is
+    partially optimistic, CLAUDE.md payload law).  So the TPU default is
+    GAUSS; ``auto`` (concat for r <= 64) remains selectable for
+    small-payload streaming workloads.  Accuracy: all modes hold
+    >= 150 dB carrier dynrange on-chip (bound 140).  Overridable via
+    PFFFT_TPU_CMUL=gauss|4mul|concat|auto|cstack or set_cmul_mode.
     """
 
     if _CMUL_FORCED is not None:
@@ -159,13 +171,13 @@ def cmul_mode() -> str:
     import os
 
     env = os.environ.get("PFFFT_TPU_CMUL")
-    if env in ("gauss", "4mul", "concat", "auto"):
+    if env in ("gauss", "4mul", "concat", "auto", "cstack"):
         return env
-    # Backend policy, like plan.default_max_factor: the MXU padding law
-    # above for TPU.  CPU keeps 4mul (true f32 FMA; Gauss's growth costs
-    # ~1 bit and measured 139.4 dB at N=160 — just under the reference's
-    # 140 dB carrier bound).
-    return "auto" if jax.default_backend() == "tpu" else "4mul"
+    # Backend policy, like plan.default_max_factor: gauss per the plateau
+    # measurements above.  CPU keeps 4mul (true f32 FMA; Gauss's growth
+    # costs ~1 bit and measured 139.4 dB at N=160 — just under the
+    # reference's 140 dB carrier bound).
+    return "gauss" if jax.default_backend() == "tpu" else "4mul"
 
 
 _CMUL_FORCED = None
@@ -173,7 +185,7 @@ _CMUL_FORCED = None
 
 def set_cmul_mode(mode) -> None:
     global _CMUL_FORCED
-    if mode not in (None, "gauss", "4mul", "concat", "auto"):
+    if mode not in (None, "gauss", "4mul", "concat", "auto", "cstack"):
         raise ValueError(f"unknown cmul mode {mode!r}")
     _CMUL_FORCED = mode
 
@@ -188,7 +200,9 @@ def _contract_stage(ar, ai, consts, sub: str) -> SplitPair:
 
     dr, di, dsum, ddiff, _ = consts
     mode = cmul_mode()
-    if mode == "auto":
+    if mode in ("auto", "cstack"):
+        # cstack only changes the CHAIN engine's layout; paths that land
+        # here (single-stage, spectator-axis, tmajor) use the auto rule
         mode = "concat" if dr.shape[0] <= 64 else "gauss"
     if mode == "concat":
         # One K=2r matmul: [.. ar|ai ..] @ [[Wr, Wi], [-Wi, Wr]] -> re|im
@@ -269,6 +283,128 @@ def _apply_twiddle(ar, ai, twc, l_axis: int) -> SplitPair:
     return xr.reshape(shape), xi.reshape(shape)
 
 
+@functools.lru_cache(maxsize=4096)
+def _stage_cmatrix(stage, backward: bool):
+    """[2, r, 2, t] complex-contraction tensor for the cstack engine:
+    contracting (c, r) of a stacked planar array against this tensor is
+    ONE K=2r matmul computing the full complex DFT product (the
+    lane-concat arithmetic without materialized concat/slice passes)."""
+
+    dft = stage.dft
+    if backward:
+        dft = np.conj(dft)
+    r, t = dft.shape
+    m = np.empty((2, r, 2, t), dtype=dft.real.dtype)
+    m[0, :, 0, :] = dft.real
+    m[1, :, 0, :] = -dft.imag
+    m[0, :, 1, :] = dft.imag
+    m[1, :, 1, :] = dft.real
+    return m
+
+
+def _apply_twiddle_stacked(x: jax.Array, twc) -> jax.Array:
+    """Product-twiddle multiply on a STACKED array [2, b, l, r, m]
+    (leading axis = re/im channel): a 2x2 channel rotation, elementwise
+    in (l, r).  Mirrors :func:`_apply_twiddle` for both table forms."""
+
+    _, bb, l, r, mm = x.shape
+    sign = jnp.asarray(np.asarray([-1.0, 1.0], x.dtype).reshape(2, 1, 1, 1, 1))
+    if twc[0] == "dense":
+        _, twr, twi = twc
+        wr = jnp.asarray(twr, dtype=x.dtype).reshape(1, 1, l, r, 1)
+        wi = jnp.asarray(twi, dtype=x.dtype).reshape(1, 1, l, r, 1)
+        return x * wr + x[::-1] * (wi * sign)
+    _, lo, a_r, a_i, b_r, b_i = twc
+    hi = l // lo
+    xs = x.reshape(2, bb, hi, lo, r, mm)
+    sign6 = sign.reshape(2, 1, 1, 1, 1, 1)
+    war = jnp.asarray(a_r, dtype=x.dtype).reshape(1, 1, hi, 1, r, 1)
+    wai = jnp.asarray(a_i, dtype=x.dtype).reshape(1, 1, hi, 1, r, 1)
+    wbr = jnp.asarray(b_r, dtype=x.dtype).reshape(1, 1, 1, lo, r, 1)
+    wbi = jnp.asarray(b_i, dtype=x.dtype).reshape(1, 1, 1, lo, r, 1)
+    xs = xs * war + xs[::-1] * (wai * sign6)
+    xs = xs * wbr + xs[::-1] * (wbi * sign6)
+    return xs.reshape(2, bb, l, r, mm)
+
+
+def _cfft_stages_split_cstack(
+    re: jax.Array,
+    im: jax.Array,
+    stages: Sequence,
+    *,
+    backward: bool,
+    ordered: bool,
+) -> SplitPair:
+    """Stacked-channel chain engine (cmul mode "cstack"), batch-major.
+
+    The re/im planes ride a leading channel axis between stages, so each
+    middle stage is ONE einsum contracting (c, r) — K=2r on the MXU, no
+    concat or slice relayout — and the whole intermediate makes exactly
+    one HBM write + read per stage.  The first stage consumes the two
+    input planes directly (two K=r matmuls into the stacked layout) and
+    the last stage emits the two output planes directly (two K=2r
+    matmuls), so no stack/unstack pass exists anywhere.  Minimum-traffic
+    analog of the reference's fused finalize idea
+    (pffft_priv_impl.h:1195-1270): passes = #stages, the floor for a
+    matmul-staged transform.
+    """
+
+    lead = re.shape[:-1]
+    n = re.shape[-1]
+    b = int(np.prod(lead)) if lead else 1
+    active = [st for st in stages if st.r > 1]
+    nstages = len(active)
+    x = None  # stacked [2, b, l*r, m] between stages
+    ar = re.reshape(b, 1, n)
+    ai = im.reshape(b, 1, n)
+    for idx, st in enumerate(active):
+        l, r, m = st.l, st.r, st.m
+        consts = _stage_consts(st, backward)
+        cm = _stage_cmatrix(st, backward)
+        first = idx == 0
+        last = idx == nstages - 1
+        # einsum output index order along the transform axis
+        tail = "ltm" if (last and not ordered) else "tlm"
+        if first:
+            ar = ar.reshape(b, l, r, m)
+            ai = ai.reshape(b, l, r, m)
+            if l > 1:
+                ar, ai = _apply_twiddle(ar, ai, consts[4], 1)
+            m0 = jnp.asarray(cm[0], dtype=ar.dtype)  # [r, 2, t]
+            m1 = jnp.asarray(cm[1], dtype=ar.dtype)
+            if last:
+                # single active stage: plain pair contraction
+                sub = f"blrm,rt->b{tail}"
+                return _contract_stage_pair_out(ar, ai, consts, sub, lead, n)
+            x = (
+                jnp.einsum("blrm,rdt->dbtlm", ar, m0, precision=_PRECISION)
+                + jnp.einsum("blrm,rdt->dbtlm", ai, m1, precision=_PRECISION)
+            ).reshape(2, b, l * r, m)
+            continue
+        x = x.reshape(2, b, l, r, m)
+        if l > 1:
+            x = _apply_twiddle_stacked(x, consts[4])
+        cmj = jnp.asarray(cm, dtype=x.dtype)  # [2, r, 2, t]
+        if last:
+            nr = jnp.einsum(
+                f"cblrm,crt->b{tail}", x, cmj[:, :, 0, :], precision=_PRECISION
+            )
+            ni = jnp.einsum(
+                f"cblrm,crt->b{tail}", x, cmj[:, :, 1, :], precision=_PRECISION
+            )
+            return nr.reshape(*lead, n), ni.reshape(*lead, n)
+        x = jnp.einsum(
+            "cblrm,crdt->dbtlm", x, cmj, precision=_PRECISION
+        ).reshape(2, b, l * r, m)
+    # all stages had r == 1 (n == 1 plans)
+    return re, im
+
+
+def _contract_stage_pair_out(ar, ai, consts, sub, lead, n) -> SplitPair:
+    nr, ni = _contract_stage(ar, ai, consts, sub)
+    return nr.reshape(*lead, n), ni.reshape(*lead, n)
+
+
 def cfft_stages_split(
     re: jax.Array,
     im: jax.Array,
@@ -282,6 +418,11 @@ def cfft_stages_split(
     [..., N] x2 -> [..., N] x2.  Same Stockham derivation as stages.py;
     unscaled in both directions (pffft.h:134).
     """
+
+    if cmul_mode() == "cstack" and sum(1 for st in stages if st.r > 1) >= 2:
+        return _cfft_stages_split_cstack(
+            re, im, stages, backward=backward, ordered=ordered
+        )
 
     lead = re.shape[:-1]
     n = re.shape[-1]

@@ -87,6 +87,11 @@ def candidate_policies(n: int, kind) -> Tuple[tuple, ...]:
                 continue
             out.setdefault((p.factors, p.local_split is None), ("mf", mf))
         return tuple(out.values())
+    # the measured-table entry (plan._TPU_FACTOR_TABLE) is always a
+    # candidate — it may not be reachable via any cap (e.g. (128,128,8))
+    table = _plan._tpu_table_factors(int(engine_n))
+    if table is not None:
+        out.setdefault((tuple(table), True), ("chain", tuple(table)))
     for cap in (512, 256, 128, 96, 64, 48, 32, 16):
         if cap * cap < engine_n and cap < 64:
             continue  # tiny caps at large N => long chains, never win

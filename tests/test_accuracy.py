@@ -311,6 +311,45 @@ def test_concat_cmul_matches_4mul():
         sp.set_cmul_mode(None)
 
 
+def test_cstack_engine_matches_4mul():
+    """Stacked-channel chain engine (cmul mode 'cstack'): one einsum per
+    middle stage contracting (channel, r); first/last stages consume/emit
+    the separate planes.  Same accumulation class as 4mul/concat."""
+
+    import jax.numpy as jnp
+    import pffft_tpu as pf
+    from pffft_tpu.ops import split as sp
+
+    r = np.random.default_rng(9)
+    try:
+        for n, factors in [(1024, (32, 32)), (4096, (64, 64)),
+                           (960, (8, 8, 15)), (65536, (128, 128, 4))]:
+            plan = pf.new_setup(n, pf.COMPLEX, factors=factors, strict=False)
+            re = jnp.asarray(r.standard_normal((2, n)).astype(np.float32))
+            im = jnp.asarray(r.standard_normal((2, n)).astype(np.float32))
+            sp.set_cmul_mode("4mul")
+            r4r, r4i = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+            scale = float(np.abs(np.asarray(r4r)).max())
+            sp.set_cmul_mode("cstack")
+            rcr, rci = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+            assert np.abs(np.asarray(rcr) - np.asarray(r4r)).max() < 2e-5 * scale
+            assert np.abs(np.asarray(rci) - np.asarray(r4i)).max() < 2e-5 * scale
+            ref = np.fft.fft(
+                np.asarray(re).astype(np.float64) + 1j * np.asarray(im).astype(np.float64)
+            )
+            got = np.asarray(rcr) + 1j * np.asarray(rci)
+            assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+            br, bi = sp.cfft_plan_split(plan, rcr, rci, backward=True, ordered=True)
+            assert np.abs(np.asarray(br) / n - np.asarray(re)).max() < 1e-5 * scale
+            # unordered layout contract identical to the pair engine
+            ur, ui = sp.cfft_plan_split(plan, re, im, backward=False, ordered=False)
+            sp.set_cmul_mode("4mul")
+            vr, vi = sp.cfft_plan_split(plan, re, im, backward=False, ordered=False)
+            assert np.abs(np.asarray(ur) - np.asarray(vr)).max() < 2e-5 * scale
+    finally:
+        sp.set_cmul_mode(None)
+
+
 def test_split_twiddle_tables_match_dense():
     """Forcing the split twiddle factorization (T = A*B, used for large-N
     tables that would otherwise be giant jit constants) must reproduce the
