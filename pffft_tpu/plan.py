@@ -278,10 +278,12 @@ _LOCAL_SPLIT_MAX_N = 1 << 24
 # MEASURE-mode analog (tune.tuned_setup) can override per-process.
 #
 # Median-of-interleaved-trials winners (factors_r3.csv + ab_r3 +
-# concat_r3.txt, v5e, cmul auto — concat for r<=64 stages):
-#   256    (16,16)       0.412 SoL med (concat; beats dense-256 0.366)
-#   512    (32,16)       0.466 (~tied with (64,8) 0.472)
-#   1024   (32,32)       0.538 (concat; beats (64,16) 0.464-0.470)
+# concat_r3.txt, v5e, GAUSS mode — the default; see cmul_mode's
+# payload-regime note):
+#   256    (256,)        0.450 SoL med (gauss matrix; (16,16) wins only
+#                        under concat mode)
+#   512    (32,16)       0.310-0.466 (~tied with (64,8))
+#   1024   (64,16)       0.265-0.470 (gauss; (32,32) wins under concat)
 #   2048   (64,32)       0.456-0.567 (both-mode windows)
 #   4096   (64,64)       0.317-0.378 (concat wins 6/8 both windows)
 #   8192   (128,64)      0.260 (the serial-matrix 0.12 "cliff" was a
@@ -294,9 +296,9 @@ _LOCAL_SPLIT_MAX_N = 1 << 24
 #   262144 (128,128,16)  0.190 (8/8 wins vs (64,64,64))
 #   1048576 (256,256,16) 0.103 (8/8 wins vs 64-chains)
 _TPU_FACTOR_TABLE: dict = {
-    256: (16, 16),
+    256: (256,),
     512: (32, 16),
-    1024: (32, 32),
+    1024: (64, 16),
     2048: (64, 32),
     4096: (64, 64),
     8192: (128, 64),
