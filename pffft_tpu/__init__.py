@@ -42,6 +42,7 @@ from .fft import (
     zconvolve_no_accu,
     transform_split,
     transform_ordered_split,
+    transform_ordered_split_tmajor,
     transform_split_inplace,
     transform_ordered_split_inplace,
     zconvolve_split,
@@ -90,6 +91,7 @@ __all__ = [
     "zconvolve_no_accu",
     "transform_split",
     "transform_ordered_split",
+    "transform_ordered_split_tmajor",
     "transform_split_inplace",
     "transform_ordered_split_inplace",
     "zconvolve_split",

@@ -260,6 +260,40 @@ def spectrum_pack(r: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=1024)
+def _jitted_split_tmajor(plan: Plan, backward: bool):
+    """Time-major complex transform: planes [N, B], batch on the lanes.
+
+    The layout for callers whose streams are already [time, channel] —
+    no transpose pass in or out (ops/dispatch routes to the native
+    time-major engine for chain plans; measured winner at several sizes,
+    benchmarks/results/engines_r3.csv xla_tmajor rows)."""
+
+    def fn(re, im):
+        return _dispatch.cfft_dispatch(
+            plan, re, im, backward=backward, time_major=True
+        )
+
+    return jax.jit(fn)
+
+
+def transform_ordered_split_tmajor(plan: Plan, x, direction=FORWARD):
+    """Split-format ordered COMPLEX transform in TIME-MAJOR layout.
+
+    x = (re, im) with planes [N, B] -> (re, im) [N, B].  Complex plans
+    only (the real path's packing is inherently last-axis)."""
+
+    d = _plan._coerce_direction(direction)
+    if plan.is_real:
+        raise ValueError("time-major layout supports COMPLEX plans only")
+    re, im = x
+    if re.ndim != 2 or re.shape[0] != plan.n:
+        raise ValueError(
+            f"time-major planes must be [N={plan.n}, B]; got {re.shape}"
+        )
+    return _jitted_split_tmajor(plan, d == BACKWARD)(re, im)
+
+
+@functools.lru_cache(maxsize=1024)
 def _jitted_split(plan: Plan, backward: bool, ordered: bool):
     if plan.is_real:
         if backward:

@@ -91,3 +91,30 @@ def test_grad_through_fastconv_filter():
     xm = x.copy(); xm[i] -= eps
     fd = (loss(jnp.asarray(xp)) - loss(jnp.asarray(xm))) / (2 * eps)
     assert abs(float(fd) - float(g[i])) < 5e-3 * max(1.0, abs(float(fd)))
+
+
+def test_transform_ordered_split_tmajor():
+    """Public time-major split transform: [N, B] planes, no transposes,
+    matches the batch-major path and numpy; rejects REAL plans."""
+
+    import jax.numpy as jnp
+    import numpy as np
+    import pffft_tpu as pf
+    import pytest
+
+    n, b = 768, 8
+    plan = pf.new_setup(n, pf.COMPLEX)
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))
+    rt = jnp.asarray(np.float32(x.real).T.copy())
+    it = jnp.asarray(np.float32(x.imag).T.copy())
+    sr, si = pf.transform_ordered_split_tmajor(plan, (rt, it), pf.FORWARD)
+    got = np.asarray(sr).T + 1j * np.asarray(si).T
+    ref = np.fft.fft(x)
+    assert np.abs(got - ref).max() < 1e-3 * np.abs(ref).max()
+    br, bi = pf.transform_ordered_split_tmajor(plan, (sr, si), pf.BACKWARD)
+    assert np.abs(np.asarray(br).T / n - x.real).max() < 1e-4
+    with pytest.raises(ValueError):
+        pf.transform_ordered_split_tmajor(pf.new_setup(n, pf.REAL), (rt, it))
+    with pytest.raises(ValueError):
+        pf.transform_ordered_split_tmajor(plan, (rt.T, it.T))
