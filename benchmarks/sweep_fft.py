@@ -243,7 +243,9 @@ def main():
                     t = t_re
                     sol = (bytes_min / SPEC_BW_V5E) / t
             spread = (max(ts) - min(ts)) / min(ts) if len(ts) > 1 else 0.0
-            t_med = sorted(ts)[len(ts) // 2]
+            # the SoL>1 re-measure above may have slowed `t` below trials
+            # that were artifacts; the median must not beat the vetted best
+            t_med = max(sorted(ts)[len(ts) // 2], t)
             row = dict(kind=kind, n=n, batch=batch,
                        ns_per=round(t / batch * 1e9, 2),
                        gflops=round(mf * batch / t / 1e9, 1),
