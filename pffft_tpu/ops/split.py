@@ -182,6 +182,23 @@ def cmul_mode() -> str:
 
 _CMUL_FORCED = None
 
+# spec2: transpose-free ordered 2-stage chain formulation (see
+# _cfft_spec2_chain).  Measured (benchmarks/results/spec2_r3.txt):
+# despite the anatomy probe suggesting the "->btlm" transposed write
+# dominates, the full-transform A/B has the classic loop winning or
+# tying every reproducible shape (6/6 at 65536-plateau, 0.149-vs-0.117
+# at 16384) — XLA evidently schedules the transposed einsum write
+# better than the decomposition implied.  Default OFF; selectable via
+# PFFFT_TPU_SPEC2=1 / set_spec2 for layout experiments.
+import os as _os
+
+_SPEC2_ENABLED = _os.environ.get("PFFFT_TPU_SPEC2", "0") == "1"
+
+
+def set_spec2(enabled: bool) -> None:
+    global _SPEC2_ENABLED
+    _SPEC2_ENABLED = bool(enabled)
+
 
 def set_cmul_mode(mode) -> None:
     global _CMUL_FORCED
@@ -405,6 +422,66 @@ def _contract_stage_pair_out(ar, ai, consts, sub, lead, n) -> SplitPair:
     return nr.reshape(*lead, n), ni.reshape(*lead, n)
 
 
+def _apply_twiddle_T(ar, ai, twc) -> SplitPair:
+    """Stage twiddle T[l, r] applied to data laid out [b, r, l] (the
+    spec2 chain's transposed orientation).  Dense and split forms."""
+
+    b, r, l = ar.shape
+    if twc[0] == "dense":
+        _, twr, twi = twc
+        wr = jnp.asarray(twr.T, dtype=ar.dtype).reshape(1, r, l)
+        wi = jnp.asarray(twi.T, dtype=ar.dtype).reshape(1, r, l)
+        return ar * wr - ai * wi, ar * wi + ai * wr
+    _, lo, a_r, a_i, b_r, b_i = twc
+    hi = l // lo
+    xr = ar.reshape(b, r, hi, lo)
+    xi = ai.reshape(b, r, hi, lo)
+    war = jnp.asarray(a_r.T, dtype=ar.dtype).reshape(1, r, hi, 1)
+    wai = jnp.asarray(a_i.T, dtype=ar.dtype).reshape(1, r, hi, 1)
+    wbr = jnp.asarray(b_r.T, dtype=ar.dtype).reshape(1, r, 1, lo)
+    wbi = jnp.asarray(b_i.T, dtype=ar.dtype).reshape(1, r, 1, lo)
+    xr, xi = xr * war - xi * wai, xr * wai + xi * war
+    xr, xi = xr * wbr - xi * wbi, xr * wbi + xi * wbr
+    return xr.reshape(b, r, l), xi.reshape(b, r, l)
+
+
+def _cfft_spec2_chain(
+    re: jax.Array,
+    im: jax.Array,
+    st1,
+    st2,
+    *,
+    backward: bool,
+) -> SplitPair:
+    """Transpose-free ORDERED 2-stage chain (the "spec2" formulation).
+
+    The standard Stockham loop's last stage writes "->btlm" with m=1 — a
+    transposed output that measures 2-3x the cost of a spectator-form
+    einsum on this backend (benchmarks/results/anatomy_r3.txt: stage2 at
+    4-6 memory-pass equivalents vs stage1's 1.8).  Instead: stage 1
+    emits its NATURAL matmul order [b, j2, t1]; the twiddle T[t1, j2]
+    applies in that transposed orientation; stage 2 contracts j2 on the
+    sublane axis with t1 riding as the minor spectator, so its natural
+    output [b, t2, t1] IS the canonical ordered layout (k = t1 + r1*t2).
+    Both stages are the cheap einsum class; no transposed write exists.
+    """
+
+    lead = re.shape[:-1]
+    n = re.shape[-1]
+    b = int(np.prod(lead)) if lead else 1
+    r1, r2 = st1.r, st2.r
+    ar = re.reshape(b, r1, r2)
+    ai = im.reshape(b, r1, r2)
+    c1 = _stage_consts(st1, backward)
+    # stage 1: contract j1, natural output [b, j2, t1]
+    ar, ai = _contract_stage(ar, ai, c1, "brm,rt->bmt")
+    c2 = _stage_consts(st2, backward)
+    ar, ai = _apply_twiddle_T(ar, ai, c2[4])
+    # stage 2: contract j2 (sublane axis), spectator t1 minor -> ordered
+    ar, ai = _contract_stage(ar, ai, c2, "brl,rt->btl")
+    return ar.reshape(*lead, n), ai.reshape(*lead, n)
+
+
 def cfft_stages_split(
     re: jax.Array,
     im: jax.Array,
@@ -418,6 +495,12 @@ def cfft_stages_split(
     [..., N] x2 -> [..., N] x2.  Same Stockham derivation as stages.py;
     unscaled in both directions (pffft.h:134).
     """
+
+    active = [st for st in stages if st.r > 1]
+    if ordered and len(active) == 2 and _SPEC2_ENABLED:
+        return _cfft_spec2_chain(
+            re, im, active[0], active[1], backward=backward
+        )
 
     if cmul_mode() == "cstack" and sum(1 for st in stages if st.r > 1) >= 2:
         return _cfft_stages_split_cstack(

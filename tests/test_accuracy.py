@@ -311,6 +311,37 @@ def test_concat_cmul_matches_4mul():
         sp.set_cmul_mode(None)
 
 
+def test_spec2_chain_matches_classic():
+    """The transpose-free ordered 2-stage formulation (spec2, the default)
+    vs the classic Stockham loop: same transform to a few ulps, both
+    directions, all cmul modes."""
+
+    import jax.numpy as jnp
+    import pffft_tpu as pf
+    from pffft_tpu.ops import split as sp
+
+    r = np.random.default_rng(13)
+    try:
+        for n, factors in [(1024, (32, 32)), (4096, (64, 64)), (960, (48, 20))]:
+            plan = pf.new_setup(n, pf.COMPLEX, factors=factors, strict=False)
+            re = jnp.asarray(r.standard_normal((2, n)).astype(np.float32))
+            im = jnp.asarray(r.standard_normal((2, n)).astype(np.float32))
+            for mode in (None, "concat", "gauss"):
+                sp.set_cmul_mode(mode)
+                sp.set_spec2(False)
+                cr, ci = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+                sp.set_spec2(True)
+                nr, ni = sp.cfft_plan_split(plan, re, im, backward=False, ordered=True)
+                scale = float(np.abs(np.asarray(cr)).max())
+                assert np.abs(np.asarray(nr) - np.asarray(cr)).max() < 2e-5 * scale
+                assert np.abs(np.asarray(ni) - np.asarray(ci)).max() < 2e-5 * scale
+                br, bi = sp.cfft_plan_split(plan, nr, ni, backward=True, ordered=True)
+                assert np.abs(np.asarray(br) / n - np.asarray(re)).max() < 1e-5 * scale
+    finally:
+        sp.set_cmul_mode(None)
+        sp.set_spec2(True)
+
+
 def test_cstack_engine_matches_4mul():
     """Stacked-channel chain engine (cmul mode 'cstack'): one einsum per
     middle stage contracting (channel, r); first/last stages consume/emit
