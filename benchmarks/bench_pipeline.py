@@ -130,6 +130,44 @@ def main():
          msamp_s=round(in_samps / t / 1e6, 1),
          sol=round((4 * in_samps * 4 / bw) / t, 3))  # 2 planes in + 2 out
 
+    # --- STFT: Msamples/s (spectral.py; beyond-parity surface, measured
+    # so the archive covers it)
+    from pffft_tpu.spectral import stft_split
+
+    n_sig = 1 << 21 if not args.quick else 1 << 18
+    n_fft, hop = 1024, 512
+    xs = jnp.asarray(rng.standard_normal((4, n_sig)).astype(np.float32))
+
+    def stft_step(v):
+        sr, si = stft_split(v, n_fft, hop)
+        # shape-preserving wrap for loop chaining: fold a (tiny) function
+        # of the spectrum back into the carry so the STFT cannot be DCE'd
+        s = (jnp.sum(sr * sr + si * si) * np.float32(1e-12)).astype(v.dtype)
+        return (v + s,)
+
+    t = best_of(stft_step, (xs,))
+    tot = 4 * n_sig
+    emit(bench="stft", n_fft=n_fft, hop=hop, samples=tot,
+         msamp_s=round(tot / t / 1e6, 1))
+
+    # --- rational resampler: Msamples/s in (resample.py)
+    from pffft_tpu.resample import Resampler
+
+    rs = Resampler(3, 2, taps_per_phase=16)
+    n_rs = 1 << 20 if not args.quick else 1 << 17
+    xr2 = jnp.asarray(rng.standard_normal((4, n_rs)).astype(np.float32))
+
+    def rs_step(v):
+        y = rs(v)
+        out_len = y.shape[-1]
+        keep = min(out_len, v.shape[-1])
+        return (jnp.concatenate([y[..., :keep], v[..., keep:]], axis=-1),)
+
+    t = best_of(rs_step, (xr2,))
+    tot = 4 * n_rs
+    emit(bench="resample_3_2", taps_per_phase=16, samples=tot,
+         msamp_s=round(tot / t / 1e6, 1))
+
     if args.csv:
         import csv
 
