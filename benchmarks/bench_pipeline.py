@@ -25,7 +25,13 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--csv", type=str, default=None)
     ap.add_argument("--trials", type=int, default=None, help="best-of-N per point")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated bench names to run (default: all)")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
 
     import jax
 
@@ -38,39 +44,53 @@ def main():
     from pffft_tpu.dsp import mixer_apply_split, mixer_init
     from timing import bench_op, measure_peak_bw
 
-    trials = args.trials or (1 if args.quick else 3)
+    trials = args.trials or (1 if args.quick else 5)
 
     def best_of(step, data):
-        # best-of-N: chip throughput varies ~2-4x between trials (CLAUDE.md)
-        return min(bench_op(step, data) for _ in range(trials))
+        # MEDIAN of a fixed trial count is the headline (round-3 policy:
+        # per-trial throughput varies 2-4x on this backend with
+        # physically impossible highs, so best-of-N is a lucky-window
+        # statistic); the best is returned too as the upper bound.
+        ts = sorted(bench_op(step, data) for _ in range(trials))
+        return ts[len(ts) // 2], ts[0]
 
     rng = np.random.default_rng(0)
     rows = []
-    bw = measure_peak_bw(64 << 20 if args.quick else 256 << 20)
-    print(f"# peak BW {bw/1e9:.0f} GB/s", file=sys.stderr)
+    # SoL columns are pinned to the v5e spec HBM roofline (819 GB/s,
+    # round-3 policy: comparable across rounds; the measured probe varies
+    # run-to-run on this backend and is only printed as info).
+    probe_bw = measure_peak_bw(64 << 20 if args.quick else 256 << 20)
+    bw = 819e9 if jax.devices()[0].platform == "tpu" else probe_bw
+    print(f"# probe BW {probe_bw/1e9:.0f} GB/s (SoL pinned to {bw/1e9:.0f})",
+          file=sys.stderr)
 
     def emit(**row):
         rows.append(row)
         print(json.dumps(row), flush=True)
 
     # --- mixer: Msamples/s (bench_mixers analog; one NCO over a long stream)
-    n = 1 << 22 if not args.quick else 1 << 20
-    xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    st = mixer_init(0.123)
+    if want("mixer_shift"):
+        n = 1 << 22 if not args.quick else 1 << 20
+        xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        st = mixer_init(0.123)
 
-    def mix_step(r, i):
-        (orr, oi), _ = mixer_apply_split(st, r, i)
-        return orr, oi
+        def mix_step(r, i):
+            (orr, oi), _ = mixer_apply_split(st, r, i)
+            return orr, oi
 
-    t = best_of(mix_step, (xr, xi))
-    emit(bench="mixer_shift", samples=n, msamp_s=round(n / t / 1e6, 1),
-         sol=round((4 * n * 4 / bw) / t, 3))
+        t, tb = best_of(mix_step, (xr, xi))
+        sol = round((4 * n * 4 / bw) / t, 3)
+        emit(bench="mixer_shift", samples=n, msamp_s=round(n / t / 1e6, 1),
+             msamp_s_best=round(n / tb / 1e6, 1), sol=sol,
+             bw_artifact=sol > 1)
 
     # --- fast convolution: kSamples/s per filterLen (test_pffastconv table)
     stream_len = 1 << 21 if not args.quick else 1 << 18
     x = jnp.asarray(rng.standard_normal(stream_len).astype(np.float32))
     flens = [32, 128, 1024, 4096] if not args.quick else [128, 1024]
+    if not want("fastconv"):
+        flens = []
     for flen in flens:
         h = design_lowpass(flen, 0.1).astype(np.float32)
         setup = pf.conv.FastConv(h)
@@ -82,9 +102,10 @@ def main():
             y = s._conv_stream(v, tot)
             return (jnp.concatenate([y, v[tot:]]),)
 
-        t = best_of(conv_fix, (x,))
+        t, tb = best_of(conv_fix, (x,))
         emit(bench="fastconv", filter_len=flen, nfft=setup.nfft,
              ksamp_s=round(total / t / 1e3, 1),
+             ksamp_s_best=round(total / tb / 1e3, 1),
              ns_per_sample=round(t / total * 1e9, 2))
 
     # --- CIC DDC: Msamples/s (pf_cic bench analog — the one PFDSP component
@@ -93,7 +114,10 @@ def main():
     from pffft_tpu.dsp.cic import CicDDC
 
     n_cic = 1 << 22 if not args.quick else 1 << 19
-    for r_factor in ([16, 64] if not args.quick else [16]):
+    cic_factors = [16, 64] if not args.quick else [16]
+    if not want("cic_ddc"):
+        cic_factors = []
+    for r_factor in cic_factors:
         ddc = CicDDC(r_factor)
         cst = ddc.init_state()
         cr = jnp.asarray(rng.standard_normal(n_cic).astype(np.float32))
@@ -105,68 +129,87 @@ def main():
             # shape-preserving wrap for loop chaining
             return jnp.concatenate([yr, r[yr.shape[0]:]]), jnp.concatenate([yi, i[yi.shape[0]:]])
 
-        t = best_of(cic_step, (cr, ci))
+        t, tb = best_of(cic_step, (cr, ci))
+        sol = round(((2 * n_cic + 2 * n_cic // r_factor) * 4 / bw) / t, 3)
         emit(bench="cic_ddc", factor=r_factor, samples=n_cic,
              msamp_s=round(n_cic / t / 1e6, 1),
-             sol=round(((2 * n_cic + 2 * n_cic // r_factor) * 4 / bw) / t, 3))
+             msamp_s_best=round(n_cic / tb / 1e6, 1), sol=sol,
+             bw_artifact=sol > 1)
 
     # --- channelizer: channel-samples/s (BASELINE config #5 single-chip)
-    m, p = (4096, 8) if not args.quick else (512, 8)
-    ch = Channelizer(m, p)
-    frames = 64 if not args.quick else 16
-    batch = 4
-    sr = jnp.asarray(rng.standard_normal((batch, frames * m)).astype(np.float32))
-    si = jnp.asarray(rng.standard_normal((batch, frames * m)).astype(np.float32))
-    state = ch.init_state((batch,))
+    if want("channelizer"):
+        m, p = (4096, 8) if not args.quick else (512, 8)
+        ch = Channelizer(m, p)
+        frames = 64 if not args.quick else 16
+        batch = 4
+        sr = jnp.asarray(rng.standard_normal((batch, frames * m)).astype(np.float32))
+        si = jnp.asarray(rng.standard_normal((batch, frames * m)).astype(np.float32))
+        state = ch.init_state((batch,))
 
-    def chan_step(r, i):
-        (yr, yi), _ = ch.process_split(state, r, i)
-        # shape-preserving wrap: outputs reshape to input length
-        return yr.reshape(r.shape), yi.reshape(i.shape)
+        def chan_step(r, i):
+            (yr, yi), _ = ch.process_split(state, r, i)
+            # shape-preserving wrap: outputs reshape to input length
+            return yr.reshape(r.shape), yi.reshape(i.shape)
 
-    t = best_of(chan_step, (sr, si))
-    in_samps = batch * frames * m
-    emit(bench="channelizer", channels=m, taps_per_channel=p, batch=batch,
-         msamp_s=round(in_samps / t / 1e6, 1),
-         sol=round((4 * in_samps * 4 / bw) / t, 3))  # 2 planes in + 2 out
+        t, tb = best_of(chan_step, (sr, si))
+        in_samps = batch * frames * m
+        sol = round((4 * in_samps * 4 / bw) / t, 3)  # 2 planes in + 2 out
+        emit(bench="channelizer", channels=m, taps_per_channel=p, batch=batch,
+             msamp_s=round(in_samps / t / 1e6, 1),
+             msamp_s_best=round(in_samps / tb / 1e6, 1), sol=sol,
+             bw_artifact=sol > 1)
 
     # --- STFT: Msamples/s (spectral.py; beyond-parity surface, measured
     # so the archive covers it)
-    from pffft_tpu.spectral import stft_split
+    if want("stft"):
+        from pffft_tpu.spectral import stft_split
 
-    n_sig = 1 << 21 if not args.quick else 1 << 18
-    n_fft, hop = 1024, 512
-    xs = jnp.asarray(rng.standard_normal((4, n_sig)).astype(np.float32))
+        n_sig = 1 << 21 if not args.quick else 1 << 18
+        n_fft, hop = 1024, 512
+        xs = jnp.asarray(rng.standard_normal((4, n_sig)).astype(np.float32))
 
-    def stft_step(v):
-        sr, si = stft_split(v, n_fft, hop)
-        # shape-preserving wrap for loop chaining: fold a (tiny) function
-        # of the spectrum back into the carry so the STFT cannot be DCE'd
-        s = (jnp.sum(sr * sr + si * si) * np.float32(1e-12)).astype(v.dtype)
-        return (v + s,)
+        def stft_step(v):
+            sr, si = stft_split(v, n_fft, hop)
+            # shape-preserving wrap for loop chaining: fold a (tiny) function
+            # of the spectrum back into the carry so the STFT cannot be DCE'd
+            s = (jnp.sum(sr * sr + si * si) * np.float32(1e-12)).astype(v.dtype)
+            return (v + s,)
 
-    t = best_of(stft_step, (xs,))
-    tot = 4 * n_sig
-    emit(bench="stft", n_fft=n_fft, hop=hop, samples=tot,
-         msamp_s=round(tot / t / 1e6, 1))
+        t, tb = best_of(stft_step, (xs,))
+        tot = 4 * n_sig
+        # min-traffic model: read input (4 B/sample) + write the packed
+        # spectrum (n_fft/2 complex bins per hop samples = 8 B/sample at
+        # hop = n_fft/2)
+        stft_bytes = tot * (4 + 8 * (n_fft // 2) / hop)
+        sol = round((stft_bytes / bw) / t, 3)
+        emit(bench="stft", n_fft=n_fft, hop=hop, samples=tot,
+             msamp_s=round(tot / t / 1e6, 1),
+             msamp_s_best=round(tot / tb / 1e6, 1), sol=sol,
+             bw_artifact=sol > 1)
 
     # --- rational resampler: Msamples/s in (resample.py)
-    from pffft_tpu.resample import Resampler
+    if want("resample"):
+        from pffft_tpu.resample import Resampler
 
-    rs = Resampler(3, 2, taps_per_phase=16)
-    n_rs = 1 << 20 if not args.quick else 1 << 17
-    xr2 = jnp.asarray(rng.standard_normal((4, n_rs)).astype(np.float32))
+        rs = Resampler(3, 2, taps_per_phase=16)
+        n_rs = 1 << 20 if not args.quick else 1 << 17
+        xr2 = jnp.asarray(rng.standard_normal((4, n_rs)).astype(np.float32))
 
-    def rs_step(v):
-        y = rs(v)
-        out_len = y.shape[-1]
-        keep = min(out_len, v.shape[-1])
-        return (jnp.concatenate([y[..., :keep], v[..., keep:]], axis=-1),)
+        def rs_step(v):
+            y = rs(v)
+            out_len = y.shape[-1]
+            keep = min(out_len, v.shape[-1])
+            return (jnp.concatenate([y[..., :keep], v[..., keep:]], axis=-1),)
 
-    t = best_of(rs_step, (xr2,))
-    tot = 4 * n_rs
-    emit(bench="resample_3_2", taps_per_phase=16, samples=tot,
-         msamp_s=round(tot / t / 1e6, 1))
+        t, tb = best_of(rs_step, (xr2,))
+        tot = 4 * n_rs
+        # min-traffic model: read input + write output (L/M more samples)
+        rs_bytes = tot * 4 * (1 + rs.up / rs.down)
+        sol = round((rs_bytes / bw) / t, 3)
+        emit(bench="resample_3_2", taps_per_phase=16, samples=tot,
+             msamp_s=round(tot / t / 1e6, 1),
+             msamp_s_best=round(tot / tb / 1e6, 1), sol=sol,
+             bw_artifact=sol > 1)
 
     if args.csv:
         import csv
