@@ -142,10 +142,30 @@ class Channelizer:
         g = f[..., m - 1 : m - 1 + (p + k - 1) * m]
         rows = g.reshape(*g.shape[:-1], p + k - 1, m)
         wt = w.astype(ext.dtype)
-        acc = rows[..., 0:k, :] * wt[0]
-        for s in range(1, p):
-            acc = acc + rows[..., s : s + k, :] * wt[s]
+        if self._use_pfb_kernel(k):
+            from .ops import pfb_kernel
+
+            acc = pfb_kernel.pfb_fir(rows, wt, k)
+        else:
+            acc = rows[..., 0:k, :] * wt[0]
+            for s in range(1, p):
+                acc = acc + rows[..., s : s + k, :] * wt[s]
         return jnp.flip(acc, axis=-2)  # k-axis flip: axis -2 is never minor
+
+    def _use_pfb_kernel(self, k: int) -> bool:
+        """Route the polyphase FIR through the Pallas sliding-window
+        kernel (ops/pfb_kernel.py: 1 read + 1 write vs the XLA chain's P
+        shifted reads).  PFFFT_TPU_PFB=pallas|xla; default xla until the
+        kernel is measured stable on the axon Mosaic service."""
+
+        import os
+
+        mode = os.environ.get("PFFFT_TPU_PFB", "xla").lower()
+        if mode != "pallas" or jax.default_backend() != "tpu":
+            return False
+        from .ops import pfb_kernel
+
+        return pfb_kernel.supported(k, self.p, self.m, self.dtype)
 
     def _pfb_split(self, extr: jax.Array, exti: jax.Array, k_frames: int):
         """ext planes [..., P*M + L] (history-prefixed) -> ([..., K, M]) x2.
