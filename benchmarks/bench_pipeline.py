@@ -140,7 +140,10 @@ def main():
     if want("channelizer"):
         m, p = (4096, 8) if not args.quick else (512, 8)
         ch = Channelizer(m, p)
-        frames = 64 if not args.quick else 16
+        # 1024 frames * 4096 ch * batch 4 = 67 MB/plane: the honest
+        # >=64 MB plateau regime (batch_r3.txt payload law); smaller
+        # payloads measure bimodally (1.3-29 Gsamp/s trials at 4 MB)
+        frames = 1024 if not args.quick else 16
         batch = 4
         sr = jnp.asarray(rng.standard_normal((batch, frames * m)).astype(np.float32))
         si = jnp.asarray(rng.standard_normal((batch, frames * m)).astype(np.float32))
