@@ -200,6 +200,21 @@ def set_spec2(enabled: bool) -> None:
     _SPEC2_ENABLED = bool(enabled)
 
 
+# Inter-stage materialization barrier: the stage twiddle is an
+# elementwise PRODUCER of the next stage's einsum operand; if XLA fuses
+# it into the contraction it is recomputed per output tile read (the
+# channelizer decomposition found a 2.7x composition blowup from this
+# producer-into-contraction pattern, chan_decomp_r3.txt).  A
+# lax.optimization_barrier after the twiddle forces one materialization.
+# Default off pending the engine A/B (PFFFT_TPU_STAGE_BARRIER=1).
+_STAGE_BARRIER = _os.environ.get("PFFFT_TPU_STAGE_BARRIER", "0") == "1"
+
+
+def set_stage_barrier(enabled: bool) -> None:
+    global _STAGE_BARRIER
+    _STAGE_BARRIER = bool(enabled)
+
+
 def set_cmul_mode(mode) -> None:
     global _CMUL_FORCED
     if mode not in (None, "gauss", "4mul", "concat", "auto", "cstack"):
@@ -401,6 +416,8 @@ def _cfft_stages_split_cstack(
         x = x.reshape(2, b, l, r, m)
         if l > 1:
             x = _apply_twiddle_stacked(x, consts[4])
+            if _STAGE_BARRIER:
+                x = jax.lax.optimization_barrier(x)
         cmj = jnp.asarray(cm, dtype=x.dtype)  # [2, r, 2, t]
         if last:
             nr = jnp.einsum(
@@ -522,6 +539,8 @@ def cfft_stages_split(
         ai = ai.reshape(b, l, r, m)
         if l > 1:
             ar, ai = _apply_twiddle(ar, ai, consts[4], 1)
+            if _STAGE_BARRIER:
+                ar, ai = jax.lax.optimization_barrier((ar, ai))
         last = idx == nstages - 1
         sub = "blrm,rt->bltm" if (last and not ordered) else "blrm,rt->btlm"
         nr, ni = _contract_stage(ar, ai, consts, sub)
@@ -562,6 +581,8 @@ def cfft_stages_split_tmajor(
         ai = ai.reshape(l, r, m, b)
         if l > 1:
             ar, ai = _apply_twiddle(ar, ai, consts[4], 0)
+            if _STAGE_BARRIER:
+                ar, ai = jax.lax.optimization_barrier((ar, ai))
         last = idx == nstages - 1
         sub = "lrmb,rt->ltmb" if (last and not ordered) else "lrmb,rt->tlmb"
         nr, ni = _contract_stage(ar, ai, consts, sub)
@@ -596,6 +617,8 @@ def _stages_axis2_split(
         ai = ai.reshape(b, l, r, m, x)
         if l > 1:
             ar, ai = _apply_twiddle(ar, ai, consts[4], 1)
+            if _STAGE_BARRIER:
+                ar, ai = jax.lax.optimization_barrier((ar, ai))
         nr, ni = _contract_stage(ar, ai, consts, "blrmx,rt->btlmx")
         shape = (b, l * r, m, x)
         ar, ai = nr.reshape(shape), ni.reshape(shape)

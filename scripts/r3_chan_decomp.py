@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 import numpy as np
 
-ROUNDS = 5
+ROUNDS = 8
 
 
 def main():
@@ -48,25 +48,103 @@ def main():
         (yr, yi), _ = ch.process_split(st, r, i)
         return yr.reshape(r.shape), yi.reshape(i.shape)
 
+    def _fit(y, e):
+        flat = y.reshape(e.shape[0], -1)
+        keep = min(flat.shape[-1], e.shape[-1])
+        return jnp.concatenate([flat[..., :keep], e[..., keep:]], axis=-1)
+
     def flip_frame(e):
         f = _flip_last(e)
         g = f[..., m - 1 : m - 1 + (p + k - 1) * m]
         rows = g.reshape(*g.shape[:-1], p + k - 1, m)
-        return (rows.reshape(e.shape[0], -1)[..., : e.shape[-1]],)
+        return (_fit(rows, e),)
 
     def poly_only(e):
         v = ch._polyphase(e, k)
-        return (v.reshape(e.shape[0], -1)[..., : e.shape[-1]],)
+        return (_fit(v, e),)
 
     def fft_only(r, i):
         orr, oi = _fft.transform_ordered_split(ch.plan, (r, i), _plan.BACKWARD)
         return orr, oi
 
+    exti = jnp.asarray(
+        rng.standard_normal((batch, (p + frames) * m)).astype(np.float32)
+    )
+
+    def concat_only(r, i):
+        er = jnp.concatenate([st.hist_re, r], axis=-1)
+        ei = jnp.concatenate([st.hist_im, i], axis=-1)
+        return er[..., : r.shape[-1]], ei[..., : i.shape[-1]]
+
+    def poly_fft(e, e2):
+        # polyphase + FFT composed (no history concat, no output reshape)
+        vr_ = ch._polyphase(e, k)
+        vi_ = ch._polyphase(e2, k)
+        orr, oi = _fft.transform_ordered_split(ch.plan, (vr_, vi_), _plan.BACKWARD)
+        return _fit(orr, e), _fit(oi, e2)
+
+    def poly_fft_barrier(e, e2):
+        # materialize the polyphase output before the FFT: without the
+        # barrier XLA fuses the P-term FMA chain into the stage-1
+        # contraction operand and recomputes it per tile read
+        vr_ = ch._polyphase(e, k)
+        vi_ = ch._polyphase(e2, k)
+        vr_, vi_ = jax.lax.optimization_barrier((vr_, vi_))
+        orr, oi = _fft.transform_ordered_split(ch.plan, (vr_, vi_), _plan.BACKWARD)
+        return _fit(orr, e), _fit(oi, e2)
+
+    def full_barrier(r, i):
+        er = jnp.concatenate([st.hist_re, r], axis=-1)
+        ei = jnp.concatenate([st.hist_im, i], axis=-1)
+        vr_ = ch._polyphase(er, k)
+        vi_ = ch._polyphase(ei, k)
+        vr_, vi_ = jax.lax.optimization_barrier((vr_, vi_))
+        yr, yi = _fft.transform_ordered_split(ch.plan, (vr_, vi_), _plan.BACKWARD)
+        return yr.reshape(r.shape), yi.reshape(i.shape)
+
+    def fft_flip(r, i):
+        # the polyphase ends with a k-axis flip: does a rev PRODUCER
+        # feeding the FFT contraction explain the composition blowup?
+        orr, oi = _fft.transform_ordered_split(
+            ch.plan, (jnp.flip(r, axis=-2), jnp.flip(i, axis=-2)), _plan.BACKWARD
+        )
+        return orr, oi
+
+    def fft_flip_bar(r, i):
+        fr_, fi_ = jax.lax.optimization_barrier(
+            (jnp.flip(r, axis=-2), jnp.flip(i, axis=-2))
+        )
+        orr, oi = _fft.transform_ordered_split(ch.plan, (fr_, fi_), _plan.BACKWARD)
+        return orr, oi
+
+    def poly_fft_concat(e, e2):
+        # hard materializer: round-trip the polyphase output through the
+        # same flat concat the ISOLATED probes used, then FFT.  If this
+        # recovers the sum-of-parts time the composition penalty is a
+        # layout-assignment artifact, not fusion.
+        vr_ = _fit(ch._polyphase(e, k), e)[..., : k * m * 1].reshape(
+            e.shape[0], k, m
+        )
+        vi_ = _fit(ch._polyphase(e2, k), e2)[..., : k * m * 1].reshape(
+            e2.shape[0], k, m
+        )
+        orr, oi = _fft.transform_ordered_split(ch.plan, (vr_, vi_), _plan.BACKWARD)
+        return _fit(orr, e), _fit(oi, e2)
+
+    def poly_fft_flat(e, e2):
+        # flatten the frame axis into the batch before the FFT (2-D
+        # engine entry instead of a leading [b, K] pair)
+        vr_ = ch._polyphase(e, k).reshape(-1, m)
+        vi_ = ch._polyphase(e2, k).reshape(-1, m)
+        orr, oi = _fft.transform_ordered_split(ch.plan, (vr_, vi_), _plan.BACKWARD)
+        return _fit(orr, e), _fit(oi, e2)
+
     steps = [
         ("full", full, (sr, si)),
-        ("flip_frame", flip_frame, (ext,)),
-        ("polyphase", poly_only, (ext,)),
         ("fft4096", fft_only, (vr, vi)),
+        ("poly_fft", poly_fft, (ext, exti)),
+        ("poly_fft_cat", poly_fft_concat, (ext, exti)),
+        ("poly_fft_flat", poly_fft_flat, (ext, exti)),
     ]
     trials = {t: [] for t, _, _ in steps}
     for _ in range(ROUNDS):
