@@ -90,6 +90,12 @@ def main():
 
             engines.append((
                 "fused2", lambda r, i, p=plan: fs.cfft_fused2(p, r, i), (re, im)))
+            # Gauss 3-matmul form inside the kernel (3/4 the MXU work);
+            # compiles since the MOSAIC_r3 service-side fix
+            engines.append((
+                "fused2_gauss",
+                lambda r, i, p=plan: fs.cfft_fused2(p, r, i, cmul="gauss"),
+                (re, im)))
 
         if on_tpu:
             from pffft_tpu.ops import pallas_fft as pk

@@ -76,21 +76,45 @@ def _cstage_mm(ar, ai, b):
     return z[..., :r], z[..., r:]
 
 
-def _make_kernel(n1: int, n2: int, ordered: bool):
+def _cstage_gauss(ar, ai, tabs):
+    """(ar + i*ai) @ W via Gauss's 3-multiplication form: 3 r x r matmuls
+    (3/4 of the concat form's MXU work).  tabs = (Wr, Wi - Wr, Wi + Wr).
+    The 3-dot combined-result pattern crashed the axon Mosaic compiler in
+    round 2 (HTTP 500 at r=64); the minimal repro compiles after a
+    service-side fix (benchmarks/results/MOSAIC_r3.md case D)."""
+
+    wr, wdiff, wsum = tabs
+    k1 = _mm(ar + ai, wr)
+    k2 = _mm(ar, wdiff)
+    k3 = _mm(ai, wsum)
+    return k1 - k3, k1 + k2
+
+
+def _make_kernel(n1: int, n2: int, ordered: bool, cmul: str = "concat"):
     """Kernel over 3D blocks (tb, n1, n2) — no lane-splitting reshapes
     inside the kernel (Mosaic rejects them); all data movement is
-    swapaxes of the minor two dims plus last-axis matmuls."""
+    swapaxes of the minor two dims plus last-axis matmuls.
 
-    def kernel(
-        b1_ref, twr_ref, twi_ref, b2_ref,
-        re_ref, im_ref, or_ref, oi_ref,
-    ):
+    cmul: "concat" (one 2r x 2r matmul per stage) or "gauss" (three
+    r x r matmuls, 25% less MXU work; compiles post-MOSAIC_r3)."""
+
+    def kernel(*refs):
+        if cmul == "gauss":
+            (s1r, s1d, s1s, twr_ref, twi_ref, s2r, s2d, s2s,
+             re_ref, im_ref, or_ref, oi_ref) = refs
+            st1 = lambda ar, ai: _cstage_gauss(ar, ai, (s1r[:], s1d[:], s1s[:]))
+            st2 = lambda ar, ai: _cstage_gauss(ar, ai, (s2r[:], s2d[:], s2s[:]))
+        else:
+            (b1_ref, twr_ref, twi_ref, b2_ref,
+             re_ref, im_ref, or_ref, oi_ref) = refs
+            st1 = lambda ar, ai: _cstage_mm(ar, ai, b1_ref[:])
+            st2 = lambda ar, ai: _cstage_mm(ar, ai, b2_ref[:])
         xr = re_ref[:]  # (tb, j1, j2)
         xi = im_ref[:]
         # stage 1 contracts j1: transpose minor dims, matmul the last axis
         xr = jnp.swapaxes(xr, 1, 2)  # (tb, j2, j1)
         xi = jnp.swapaxes(xi, 1, 2)
-        yr, yi = _cstage_mm(xr, xi, b1_ref[:])
+        yr, yi = st1(xr, xi)
         # four-step twiddle at the current [j2, k1] layout (tables pre-transposed)
         twr = twr_ref[:]
         twi = twi_ref[:]
@@ -98,7 +122,7 @@ def _make_kernel(n1: int, n2: int, ordered: bool):
         # stage 2 contracts j2: transpose back -> (tb, k1, j2)
         yr = jnp.swapaxes(yr, 1, 2)
         yi = jnp.swapaxes(yi, 1, 2)
-        zr, zi = _cstage_mm(yr, yi, b2_ref[:])
+        zr, zi = st2(yr, yi)
         if ordered:  # (b, k1, k2) -> (b, k2, k1): k = k1 + n1*k2 canonical
             zr = jnp.swapaxes(zr, 1, 2)
             zi = jnp.swapaxes(zi, 1, 2)
@@ -109,8 +133,8 @@ def _make_kernel(n1: int, n2: int, ordered: bool):
 
 
 @functools.lru_cache(maxsize=256)
-def _tables(plan: _plan.Plan, backward: bool):
-    """Host-side concat stage matrices + transposed twiddle."""
+def _tables(plan: _plan.Plan, backward: bool, cmul: str = "concat"):
+    """Host-side stage matrices + transposed twiddle (per cmul form)."""
 
     st1, st2 = [st for st in plan.stages if st.r > 1]
 
@@ -123,32 +147,38 @@ def _tables(plan: _plan.Plan, backward: bool):
             np.concatenate([top, bot], axis=0), dtype=np.float32
         )
 
+    def gauss_tabs(dft):
+        wr = np.ascontiguousarray(dft.real, dtype=np.float32)
+        wdiff = np.ascontiguousarray(dft.imag - dft.real, dtype=np.float32)
+        wsum = np.ascontiguousarray(dft.imag + dft.real, dtype=np.float32)
+        return wr, wdiff, wsum
+
     d1 = np.conj(st1.dft) if backward else st1.dft
     d2 = np.conj(st2.dft) if backward else st2.dft
     tw = np.conj(st2.twiddle) if backward else st2.twiddle  # [l=n1, r=n2]
     twt = tw.T  # kernel layout [j2, k1]
-    return (
-        concat_matrix(d1),
-        np.ascontiguousarray(twt.real, dtype=np.float32),
-        np.ascontiguousarray(twt.imag, dtype=np.float32),
-        concat_matrix(d2),
-    )
+    twr = np.ascontiguousarray(twt.real, dtype=np.float32)
+    twi = np.ascontiguousarray(twt.imag, dtype=np.float32)
+    if cmul == "gauss":
+        return (*gauss_tabs(d1), twr, twi, *gauss_tabs(d2))
+    return (concat_matrix(d1), twr, twi, concat_matrix(d2))
 
 
 @functools.lru_cache(maxsize=256)
-def _build(plan: _plan.Plan, backward: bool, ordered: bool, tb: int, interpret: bool):
+def _build(plan: _plan.Plan, backward: bool, ordered: bool, tb: int, interpret: bool,
+           cmul: str = "concat"):
     st1, st2 = [st for st in plan.stages if st.r > 1]
     n1, n2 = st1.r, st2.r
     n = plan.engine_n
     assert n1 * n2 == n
-    tabs = _tables(plan, backward)
+    tabs = _tables(plan, backward, cmul)
     tab_specs = [
         pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for t in tabs
     ]
     in_spec = pl.BlockSpec((tb, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     oshape = (n2, n1) if ordered else (n1, n2)
     out_spec = pl.BlockSpec((tb, *oshape), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    kernel = _make_kernel(n1, n2, ordered)
+    kernel = _make_kernel(n1, n2, ordered, cmul)
 
     def call(re, im):
         b = re.shape[0]
@@ -156,9 +186,11 @@ def _build(plan: _plan.Plan, backward: bool, ordered: bool, tb: int, interpret: 
             jax.ShapeDtypeStruct((b, *oshape), jnp.float32),
             jax.ShapeDtypeStruct((b, *oshape), jnp.float32),
         ]
-        # 2 concat matmuls (2r x 2r) at HIGHEST = 6 bf16 passes each;
-        # bytes = 1 read + 1 write of both planes
-        flops = int(2 * 6 * 2 * b * n * 2 * max(n1, n2) * 2)
+        # concat: 2 matmuls (2r x 2r); gauss: 6 matmuls (r x r, 3/4 the
+        # work) — both at HIGHEST = 6 bf16 passes; bytes = 1 read + 1
+        # write of both planes
+        mxu_scale = 3 if cmul == "gauss" else 4
+        flops = int(mxu_scale * 24 * b * n * max(n1, n2))
         zr, zi = pl.pallas_call(
             kernel,
             grid=(b // tb,),
@@ -188,12 +220,17 @@ def cfft_fused2(
     ordered: bool = True,
     tb: int = DEFAULT_TB,
     interpret: bool = False,
+    cmul: str = "concat",
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched complex FFT of batch-major planes [B, N] (B % tb == 0).
 
     Unscaled both directions; layout per the module contract.
+    cmul: in-kernel complex-product form, "concat" or "gauss" (3/4 the
+    MXU work; compiles since the MOSAIC_r3 service fix).
     """
 
+    if cmul not in ("concat", "gauss"):
+        raise ValueError(f"unknown cmul form {cmul!r}")
     if not supported(plan):
         raise ValueError(f"plan {plan} is not a two-fat-stage plan")
     b, n = re.shape
@@ -201,4 +238,4 @@ def cfft_fused2(
         raise ValueError(f"data length {n} != plan engine length {plan.engine_n}")
     if b % tb:
         raise ValueError(f"batch {b} must be a multiple of tile {tb}")
-    return _build(plan, backward, ordered, tb, interpret)(re, im)
+    return _build(plan, backward, ordered, tb, interpret, cmul)(re, im)

@@ -18,7 +18,8 @@ def _mk(n, max_factor):
 @pytest.mark.parametrize("n,mf", [(1024, 32), (2048, 64), (4096, 64), (1536, 48)])
 @pytest.mark.parametrize("ordered", [True, False])
 @pytest.mark.parametrize("backward", [False, True])
-def test_fused2_matches_engine(n, mf, ordered, backward):
+@pytest.mark.parametrize("cmul", ["concat", "gauss"])
+def test_fused2_matches_engine(n, mf, ordered, backward, cmul):
     import jax.numpy as jnp
 
     from pffft_tpu.ops import fused_stage as fs
@@ -32,7 +33,8 @@ def test_fused2_matches_engine(n, mf, ordered, backward):
     re = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
     im = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
     kr, ki = fs.cfft_fused2(
-        plan, re, im, backward=backward, ordered=ordered, tb=8, interpret=True
+        plan, re, im, backward=backward, ordered=ordered, tb=8, interpret=True,
+        cmul=cmul,
     )
     sp.set_cmul_mode("gauss")  # match the kernel's arithmetic
     try:
