@@ -15,20 +15,25 @@ SIMD headers, link-time multi-arch libraries with a runtime dispatcher
     time-major; covers thin-stage (CPU-policy) plans only.
 
 Measured guidance on TPU v5e (benchmarks/results/concat_r3.txt,
-engines_r*.csv; median-of-interleaved-trials): the XLA stage path with
-the auto cmul policy (lane-concat contraction for r<=64 stages,
-ops/split.py:cmul_mode) is the winner at every measured size and is the
-default; the registry exists so kernels can be forced (``set_engine`` /
-PFFFT_TPU_ENGINE) and so the measured table (``record_engine``) can
-reroute per (backend, N) without touching call sites.
+engines_r3.csv; median of interleaved trials at plateau payloads): the
+XLA stage path is the default, but the pallas VPU radix kernel wins
+8/8 interleaved rounds at N=1024 in its native time-major layout
+(median 0.30 vs 0.17 SoL) and the measured table routes it there —
+through a derived thin-chain plan when the caller's plan uses fat MXU
+stages (the ordered spectrum is factorization-independent).  Kernels
+can also be forced (``set_engine`` / PFFFT_TPU_ENGINE) and the table
+updated per (backend, N, layout) via ``record_engine`` without
+touching call sites.
 """
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 
 from .. import plan as _plan
 from . import fused_stage as _fs
@@ -43,6 +48,34 @@ _FORCED: Optional[str] = None
 _PALLAS_VMEM_BUDGET = 12 << 20
 
 
+@_functools.lru_cache(maxsize=64)
+def _thin_plan(n: int) -> Optional[_plan.Plan]:
+    """Radix<=5 chain plan for the VPU kernel.
+
+    The canonical ORDERED spectrum is factorization-independent, so the
+    dispatcher may run a pallas-routed ordered transform through its own
+    thin-chain plan even when the caller's plan uses fat MXU stages (the
+    TPU default).  Carrier dynamic range of the radix chain is 148.7 dB
+    (>= the 140 dB float bound; CLAUDE.md / results archives)."""
+
+    try:
+        p = _plan.new_setup(n, _plan.COMPLEX, max_factor=5)
+    except ValueError:
+        return None
+    return p if _pk.supported(p) else None
+
+
+def _pallas_plan(plan: _plan.Plan) -> Optional[_plan.Plan]:
+    """The plan the pallas engine would run: the caller's if it is already
+    a thin chain, else a derived thin plan for the same N (f32 only)."""
+
+    if plan.is_real or plan.dtype != np.float32:
+        return None
+    if _pk.supported(plan):
+        return plan
+    return _thin_plan(plan.engine_n)
+
+
 def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[str, ...]:
     out = ["xla"]
     if (
@@ -54,7 +87,7 @@ def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[s
     ):
         out.append("fused2")
     if (
-        _pk.supported(plan)
+        _pallas_plan(plan) is not None
         and time_major
         and batch % _pk.DEFAULT_TB == 0
         # ~6x the block plane (in + out + live intermediates, double-buffered)
@@ -75,26 +108,31 @@ def set_engine(name: Optional[str]) -> None:
 
 _WARNED_ENV_FALLBACK = set()
 
-# Measured engine table: (backend, n) -> engine, filled from the archived
-# interleaved-round comparisons (benchmarks/bench_engines.py ->
-# benchmarks/results/engines_r*.csv).  The analog of the reference's
+# Measured engine table: (backend, n, time_major) -> engine, filled from
+# the archived interleaved-round comparisons (benchmarks/bench_engines.py
+# -> benchmarks/results/engines_r*.csv).  The analog of the reference's
 # runtime dispatcher table (/root/reference/benchmarks/pf_conv_dispatcher.cpp:18-60).
-# Round-2/3 measurements: the XLA stage engine wins every size on this
-# backend (the fused kernel pays 4/3 MXU work for its single HBM pass and
-# the radix kernel is VPU-bound), so the shipped table is all-xla; the
-# mechanism is live so a future backend can reroute without code changes.
+# Round-3 plateau-payload measurement (engines_r3.csv, >=64 MB/plane,
+# 8 interleaved rounds): the pallas VPU radix kernel wins 8/8 rounds at
+# N=1024 time-major (median 764 GF/s = 0.30 SoL vs 433 for the XLA
+# time-major engine) — its single HBM pass finally beats the stage
+# engine in the kernel's native layout.  Batch-major stays xla (the
+# transposes in/out of the kernel layout would eat the win); N=4096
+# stays xla (the kernel exceeds the VMEM budget / Mosaic 500s there).
 _MEASURED_TABLE: dict = {
-    ("tpu", 1024): "xla",
-    ("tpu", 4096): "xla",
+    ("tpu", 1024, False): "xla",
+    ("tpu", 1024, True): "pallas",
+    ("tpu", 4096, False): "xla",
+    ("tpu", 4096, True): "xla",
 }
 
 
-def record_engine(backend: str, n: int, engine: str) -> None:
+def record_engine(backend: str, n: int, engine: str, time_major: bool = False) -> None:
     """Record a measured winner (used by bench_engines --apply and tests)."""
 
     if engine not in ("xla", "fused2", "pallas"):
         raise ValueError(f"unknown engine {engine!r}")
-    _MEASURED_TABLE[(backend, int(n))] = engine
+    _MEASURED_TABLE[(backend, int(n), bool(time_major))] = engine
 
 
 def select_engine(plan: _plan.Plan, batch: int, time_major: bool) -> str:
@@ -126,11 +164,13 @@ def select_engine(plan: _plan.Plan, batch: int, time_major: bool) -> str:
                 stacklevel=2,
             )
         return "xla"
-    # measured table first (per backend + engine length), then the
-    # measured default: the XLA Gauss fat-stage path wins on current
-    # hardware (scripts/r2_perf1.py, engines_r3; the fused kernel's
-    # concat matmuls cost 4/3 the MXU work — see benchmarks/results/)
-    measured = _MEASURED_TABLE.get((jax.default_backend(), plan.engine_n))
+    # measured table first (per backend + engine length + layout), then
+    # the measured default: the XLA stage path wins everywhere else on
+    # current hardware (engines_r3.csv; the fused kernel's concat matmuls
+    # cost 4/3 the MXU work — see benchmarks/results/)
+    measured = _MEASURED_TABLE.get(
+        (jax.default_backend(), plan.engine_n, bool(time_major))
+    )
     if measured is not None and measured in avail:
         return measured
     return "xla"
@@ -155,7 +195,8 @@ def cfft_dispatch(
     # Mosaic only compiles on TPU; elsewhere the kernels run interpreted
     interp = jax.default_backend() != "tpu"
     if engine == "pallas":
-        return _pk.cfft_pallas_tmajor(plan, re, im, backward=backward, interpret=interp)
+        pplan = _pallas_plan(plan)
+        return _pk.cfft_pallas_tmajor(pplan, re, im, backward=backward, interpret=interp)
     if engine == "fused2":
         lead = re.shape[:-1]
         n = re.shape[-1]

@@ -90,9 +90,12 @@ def test_dispatch_registry():
     plan64 = pf.new_setup(1024, pf.COMPLEX, max_factor=64)
     # radix<=5 plan, tile-aligned time-major batch -> both engines
     assert dp.available_engines(plan5, 256, True) == ("xla", "pallas")
-    # dense-64 factors are not expressible in the fused kernel
-    assert dp.available_engines(plan64, 256, True) == ("xla",)
-    # misaligned batch / batch-major -> xla only
+    # fat MXU factors reroute through a derived thin-chain plan (the
+    # ordered spectrum is factorization-independent), so pallas is
+    # available time-major for them too
+    assert dp.available_engines(plan64, 256, True) == ("xla", "pallas")
+    # misaligned batch / batch-major -> xla only (batch-major would need
+    # transposes in and out of the kernel's native layout)
     assert dp.available_engines(plan5, 100, True) == ("xla",)
     assert dp.available_engines(plan5, 256, False) == ("xla",)
 
@@ -100,8 +103,9 @@ def test_dispatch_registry():
     dp.set_engine("pallas")
     try:
         assert dp.select_engine(plan5, 256, True) == "pallas"
+        assert dp.select_engine(plan64, 256, True) == "pallas"
         with pytest.raises(ValueError):
-            dp.select_engine(plan64, 256, True)
+            dp.select_engine(plan64, 256, False)  # batch-major: unavailable
     finally:
         dp.set_engine(None)
     with pytest.raises(ValueError):
@@ -119,3 +123,41 @@ def test_dispatch_results_agree():
     ref = np.fft.fft(np.asarray(re).astype(np.float64).T + 1j * np.asarray(im).astype(np.float64).T).T
     got = np.asarray(xr) + 1j * np.asarray(xi)
     assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+
+
+def test_dispatch_thin_plan_reroute_matches():
+    """A measured-table 'pallas' entry must serve a FAT-stage plan via a
+    derived thin-chain plan with identical ordered output (the route the
+    TPU table takes at N=1024 time-major, engines_r3.csv)."""
+
+    import jax
+
+    from pffft_tpu.ops import dispatch as dp
+
+    n = 512
+    plan = pf.new_setup(n, pf.COMPLEX, max_factor=32)  # fat stages
+    assert any(st.r > 5 for st in plan.stages)
+    backend = jax.default_backend()
+    key = (backend, n, True)
+    prev = dp._MEASURED_TABLE.get(key)
+    dp.record_engine(backend, n, "pallas", time_major=True)
+    try:
+        assert dp.select_engine(plan, 128, True) == "pallas"
+        r = _rng(11)
+        re = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+        im = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+        xr, xi = dp.cfft_dispatch(plan, re, im, time_major=True)
+        ref = np.fft.fft(
+            np.asarray(re).astype(np.float64).T
+            + 1j * np.asarray(im).astype(np.float64).T
+        ).T
+        got = np.asarray(xr) + 1j * np.asarray(xi)
+        assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+        # backward through the same route: unscaled inverse identity
+        br, bi = dp.cfft_dispatch(plan, xr, xi, backward=True, time_major=True)
+        assert np.abs(np.asarray(br) / n - np.asarray(re)).max() < 1e-4
+    finally:
+        if prev is None:
+            dp._MEASURED_TABLE.pop(key, None)
+        else:
+            dp._MEASURED_TABLE[key] = prev
