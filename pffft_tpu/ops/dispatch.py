@@ -120,6 +120,10 @@ _WARNED_ENV_FALLBACK = set()
 # transposes in/out of the kernel layout would eat the win); N=4096
 # stays xla (the kernel exceeds the VMEM budget / Mosaic 500s there).
 _MEASURED_TABLE: dict = {
+    # pallas_sizes_r3.txt: kernel medians 0.349/0.268 SoL vs xla_tmajor
+    # 0.322/0.219 at N=256/512 (5/8 round wins each, contended window)
+    ("tpu", 256, True): "pallas",
+    ("tpu", 512, True): "pallas",
     ("tpu", 1024, False): "xla",
     ("tpu", 1024, True): "pallas",
     ("tpu", 4096, False): "xla",
@@ -128,7 +132,7 @@ _MEASURED_TABLE: dict = {
 
 
 def record_engine(backend: str, n: int, engine: str, time_major: bool = False) -> None:
-    """Record a measured winner (used by bench_engines --apply and tests)."""
+    """Record a measured winner (updates the in-process dispatch table)."""
 
     if engine not in ("xla", "fused2", "pallas"):
         raise ValueError(f"unknown engine {engine!r}")
