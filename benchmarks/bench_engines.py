@@ -101,10 +101,11 @@ def main():
             from pffft_tpu.ops import pallas_fft as pk
 
             p5 = pf.new_setup(n, pf.COMPLEX, max_factor=5)
-            if pk.supported(p5):
+            tb = pk.best_tb(n, batch)
+            if pk.supported(p5) and tb is not None:
                 engines.append((
                     "pallas_radix",
-                    lambda r, i, p=p5: pk.cfft_pallas_tmajor(p, r, i),
+                    lambda r, i, p=p5, t=tb: pk.cfft_pallas_tmajor(p, r, i, tb=t),
                     (ret, imt),
                 ))
 

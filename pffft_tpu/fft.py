@@ -90,7 +90,7 @@ def _real_backward(p: Plan, s: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=1024)
-def _jitted(plan: Plan, backward: bool, ordered: bool):
+def _jitted(plan: Plan, backward: bool, ordered: bool, ekey=None):
     """One compiled callable per (plan, direction, layout)."""
 
     if plan.is_real:
@@ -144,7 +144,7 @@ def transform_ordered(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
 
     d = _plan._coerce_direction(direction)
     _check_len(plan, x, d == BACKWARD)
-    return _jitted(plan, d == BACKWARD, True)(x)
+    return _jitted(plan, d == BACKWARD, True, _dispatch.state_key())(x)
 
 
 def transform(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
@@ -160,8 +160,8 @@ def transform(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
     d = _plan._coerce_direction(direction)
     _check_len(plan, x, d == BACKWARD)
     if plan.is_real:
-        return _jitted(plan, d == BACKWARD, True)(x)
-    return _jitted(plan, d == BACKWARD, False)(x)
+        return _jitted(plan, d == BACKWARD, True, _dispatch.state_key())(x)
+    return _jitted(plan, d == BACKWARD, False, _dispatch.state_key())(x)
 
 
 def zreorder(plan: Plan, z: jax.Array, direction=FORWARD) -> jax.Array:
@@ -260,7 +260,7 @@ def spectrum_pack(r: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=1024)
-def _jitted_split_tmajor(plan: Plan, backward: bool):
+def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
     """Time-major complex transform: planes [N, B], batch on the lanes.
 
     The layout for callers whose streams are already [time, channel] —
@@ -290,11 +290,11 @@ def transform_ordered_split_tmajor(plan: Plan, x, direction=FORWARD):
         raise ValueError(
             f"time-major planes must be [N={plan.n}, B]; got {re.shape}"
         )
-    return _jitted_split_tmajor(plan, d == BACKWARD)(re, im)
+    return _jitted_split_tmajor(plan, d == BACKWARD, _dispatch.state_key())(re, im)
 
 
 @functools.lru_cache(maxsize=1024)
-def _jitted_split(plan: Plan, backward: bool, ordered: bool):
+def _jitted_split(plan: Plan, backward: bool, ordered: bool, ekey=None):
     if plan.is_real:
         if backward:
             fn = lambda sr, si: _real_backward_planar(plan, sr, si)
@@ -330,8 +330,8 @@ def transform_ordered_split(plan: Plan, x, direction=FORWARD):
     d = _plan._coerce_direction(direction)
     backward = d == BACKWARD
     if plan.is_real and not backward:
-        return _jitted_split(plan, False, True)(x)
-    return _jitted_split(plan, backward, True)(*x)
+        return _jitted_split(plan, False, True, _dispatch.state_key())(x)
+    return _jitted_split(plan, backward, True, _dispatch.state_key())(*x)
 
 
 def transform_split(plan: Plan, x, direction=FORWARD):
@@ -341,11 +341,11 @@ def transform_split(plan: Plan, x, direction=FORWARD):
     backward = d == BACKWARD
     if plan.is_real:
         return transform_ordered_split(plan, x, direction)
-    return _jitted_split(plan, backward, False)(*x)
+    return _jitted_split(plan, backward, False, _dispatch.state_key())(*x)
 
 
 @functools.lru_cache(maxsize=512)
-def _jitted_split_donated(plan: Plan, backward: bool, ordered: bool):
+def _jitted_split_donated(plan: Plan, backward: bool, ordered: bool, ekey=None):
     """Complex split transform with donated input planes.
 
     The in-place analog of the C API's input==output aliasing
@@ -389,7 +389,7 @@ def transform_ordered_split_inplace(plan: Plan, x, direction=FORWARD):
     backward = d == BACKWARD
     if plan.is_real:
         return transform_ordered_split(plan, x, direction)
-    return _jitted_split_donated(plan, backward, True)(*x)
+    return _jitted_split_donated(plan, backward, True, _dispatch.state_key())(*x)
 
 
 def transform_split_inplace(plan: Plan, x, direction=FORWARD):
@@ -399,7 +399,7 @@ def transform_split_inplace(plan: Plan, x, direction=FORWARD):
     backward = d == BACKWARD
     if plan.is_real:
         return transform_split(plan, x, direction)
-    return _jitted_split_donated(plan, backward, False)(*x)
+    return _jitted_split_donated(plan, backward, False, _dispatch.state_key())(*x)
 
 
 def zconvolve_split(plan: Plan, a, b, scaling=1.0, accumulate=None):

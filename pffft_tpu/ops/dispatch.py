@@ -89,9 +89,9 @@ def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[s
     if (
         _pallas_plan(plan) is not None
         and time_major
-        and batch % _pk.DEFAULT_TB == 0
-        # ~6x the block plane (in + out + live intermediates, double-buffered)
-        and 6 * plan.engine_n * _pk.DEFAULT_TB * 4 * 2 <= _PALLAS_VMEM_BUDGET
+        # per-N measured tile policy (VMEM stack gate folded in):
+        # None when no compiling tile divides the batch
+        and _pk.best_tb(plan.engine_n, batch) is not None
     ):
         out.append("pallas")
     return tuple(out)
@@ -120,8 +120,10 @@ _WARNED_ENV_FALLBACK = set()
 # transposes in/out of the kernel layout would eat the win); N=4096
 # stays xla (the kernel exceeds the VMEM budget / Mosaic 500s there).
 _MEASURED_TABLE: dict = {
-    # pallas_sizes_r3.txt: kernel medians 0.349/0.268 SoL vs xla_tmajor
-    # 0.322/0.219 at N=256/512 (5/8 round wins each, contended window)
+    # pallas_tb2_r3.txt: with the per-N measured tile policy the kernel
+    # medians at plateau payloads are 1.1 SoL at N=128 (tb=512), 0.86 at
+    # N=256 (tb=1024), 0.90 at N=512 (tb=384) — 3-6x every XLA variant
+    ("tpu", 128, True): "pallas",
     ("tpu", 256, True): "pallas",
     ("tpu", 512, True): "pallas",
     ("tpu", 1024, False): "xla",
@@ -131,12 +133,38 @@ _MEASURED_TABLE: dict = {
 }
 
 
+_TABLE_VERSION = 0
+
+
 def record_engine(backend: str, n: int, engine: str, time_major: bool = False) -> None:
     """Record a measured winner (updates the in-process dispatch table)."""
 
+    global _TABLE_VERSION
     if engine not in ("xla", "fused2", "pallas"):
         raise ValueError(f"unknown engine {engine!r}")
     _MEASURED_TABLE[(backend, int(n), bool(time_major))] = engine
+    _TABLE_VERSION += 1
+
+
+def state_key() -> tuple:
+    """Hashable snapshot of every trace-time global that changes what the
+    engine executes: the engine force (programmatic + env), the
+    measured-table version, and the split engine's mode switches (cmul
+    form, spec2 chain, stage barrier).  Every jit cache keyed on a Plan
+    that traces through :func:`cfft_dispatch` or the split engine MUST
+    include this key — the choices are baked in at trace time, so a stale
+    cache entry silently keeps running the previously traced variant
+    after ``set_engine``/``set_cmul_mode``/``record_engine`` (any
+    forced-variant A/B then compares an executable against itself)."""
+
+    return (
+        _FORCED,
+        os.environ.get("PFFFT_TPU_ENGINE") or None,
+        _TABLE_VERSION,
+        _split.cmul_mode(),
+        _split._SPEC2_ENABLED,
+        _split._STAGE_BARRIER,
+    )
 
 
 def select_engine(plan: _plan.Plan, batch: int, time_major: bool) -> str:
@@ -200,7 +228,10 @@ def cfft_dispatch(
     interp = jax.default_backend() != "tpu"
     if engine == "pallas":
         pplan = _pallas_plan(plan)
-        return _pk.cfft_pallas_tmajor(pplan, re, im, backward=backward, interpret=interp)
+        tb = _pk.best_tb(plan.engine_n, batch) or _pk.DEFAULT_TB
+        return _pk.cfft_pallas_tmajor(
+            pplan, re, im, backward=backward, tb=tb, interpret=interp
+        )
     if engine == "fused2":
         lead = re.shape[:-1]
         n = re.shape[-1]

@@ -43,9 +43,59 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import plan as _plan
 
-__all__ = ["supported", "cfft_pallas_tmajor", "cfft_pallas", "DEFAULT_TB"]
+__all__ = [
+    "supported",
+    "cfft_pallas_tmajor",
+    "cfft_pallas",
+    "DEFAULT_TB",
+    "best_tb",
+]
 
 DEFAULT_TB = 128  # batch columns per grid step (one f32 lane tile)
+
+# Measured tile-batch preference per engine length (v5e, interleaved
+# rounds at plateau payloads — benchmarks/results/pallas_tb2_r3.txt):
+# wider lane tiles amortize grid steps and roughly TRIPLE the kernel's
+# throughput (N=256: 0.86 SoL at tb=1024 vs 0.26 at 128; N=512: 0.90 at
+# 384 vs 0.25), until the Mosaic scoped-VMEM stack gate kills the
+# compile (N=1024 tb=256 OOMs at 19.2 MB vs the 16 MB limit — the
+# unrolled stage chain's live values scale with both N*TB and the stage
+# count, so the cap is per-N measured, not a formula).
+_TB_PREF = {
+    128: (512, 2048, 1024, 256, 128),
+    256: (1024, 512, 256, 128),
+    512: (384, 256, 128),
+    1024: (128,),
+}
+# For unmeasured lengths: largest lane-tile multiple with n*tb inside the
+# envelope every measured length compiles at.
+_SAFE_ELEMS = 128 * 1024
+
+
+def tb_candidates(n: int) -> Tuple[int, ...]:
+    """Tile-batch candidates for engine length ``n``, best first."""
+
+    pref = _TB_PREF.get(n)
+    if pref is not None:
+        return pref
+    top = max(128, (_SAFE_ELEMS // max(n, 1)) // 128 * 128)
+    out = []
+    tb = top
+    while tb > 128:
+        out.append(tb)
+        tb = max(128, (tb // 2) // 128 * 128)
+    out.append(128)
+    return tuple(out)
+
+
+def best_tb(n: int, batch: int) -> int | None:
+    """Best measured tile for (n, batch), or None if no candidate divides
+    the batch (the dispatcher then keeps the XLA engine)."""
+
+    for tb in tb_candidates(n):
+        if batch % tb == 0:
+            return tb
+    return None
 
 _SQRT3_2 = math.sqrt(3.0) / 2.0
 # radix-5 constants: cos/sin of 2pi/5, 4pi/5 (cf. radf5_ps tr11/ti11/tr12/ti12,
@@ -132,27 +182,45 @@ def _stage_values(ar, ai, l: int, r: int, m: int, twr, twi, sign: float):
     return outr.reshape(r * l, m, tb), outi.reshape(r * l, m, tb)
 
 
-def _make_kernel(n: int, stages: Sequence, backward: bool):
-    """Kernel fn (twiddle refs ..., re_ref, im_ref, or_ref, oi_ref)."""
+def _make_kernel(n: int, stages: Sequence, backward: bool, inner: int = 0):
+    """Kernel fn (twiddle refs ..., re_ref, im_ref, or_ref, oi_ref).
+
+    inner > 0: process the [n, tb] block in sequential column chunks of
+    ``inner`` — the live stage values then scale with ``inner`` instead of
+    ``tb``, trading unrolled chain width for a smaller Mosaic scoped-VMEM
+    stack (the gate that kills tb>128 compiles at N=1024).
+    """
 
     sign = 1.0 if backward else -1.0
     active = [s for s in stages if s.r != 1]
 
-    def kernel(*refs):
-        ntw = len(active)
-        tw_refs = refs[: 2 * ntw]
-        re_ref, im_ref, or_ref, oi_ref = refs[2 * ntw :]
-        tb = re_ref.shape[-1]
-        ar = re_ref[:].reshape(1, n, tb)
-        ai = im_ref[:].reshape(1, n, tb)
+    def chain(ar, ai, tw):
         for idx, st in enumerate(active):
-            twr = tw_refs[2 * idx][:]
-            twi = tw_refs[2 * idx + 1][:]
+            twr, twi = tw[2 * idx], tw[2 * idx + 1]
             if backward:
                 twi = -twi
             ar, ai = _stage_values(ar, ai, st.l, st.r, st.m, twr, twi, sign)
-        or_ref[:] = ar.reshape(n, tb)
-        oi_ref[:] = ai.reshape(n, tb)
+        return ar, ai
+
+    def kernel(*refs):
+        ntw = len(active)
+        tw = [r_[:] for r_ in refs[: 2 * ntw]]
+        re_ref, im_ref, or_ref, oi_ref = refs[2 * ntw :]
+        tb = re_ref.shape[-1]
+        if not inner or inner >= tb:
+            ar = re_ref[:].reshape(1, n, tb)
+            ai = im_ref[:].reshape(1, n, tb)
+            ar, ai = chain(ar, ai, tw)
+            or_ref[:] = ar.reshape(n, tb)
+            oi_ref[:] = ai.reshape(n, tb)
+            return
+        for c in range(tb // inner):
+            sl = slice(c * inner, (c + 1) * inner)
+            ar = re_ref[:, sl].reshape(1, n, inner)
+            ai = im_ref[:, sl].reshape(1, n, inner)
+            ar, ai = chain(ar, ai, tw)
+            or_ref[:, sl] = ar.reshape(n, inner)
+            oi_ref[:, sl] = ai.reshape(n, inner)
 
     return kernel
 
@@ -168,7 +236,8 @@ def supported(plan: _plan.Plan) -> bool:
 
 
 @functools.lru_cache(maxsize=256)
-def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool):
+def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool,
+           inner: int = 0):
     n = plan.engine_n
     active = [s for s in plan.stages if s.r != 1]
     tw_inputs = []
@@ -181,7 +250,7 @@ def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool):
         tw_specs.extend([spec, spec])
 
     data_spec = pl.BlockSpec((n, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
-    kernel = _make_kernel(n, plan.stages, backward)
+    kernel = _make_kernel(n, plan.stages, backward, inner)
 
     def call(re, im):
         b = re.shape[-1]
@@ -218,10 +287,13 @@ def cfft_pallas_tmajor(
     backward: bool = False,
     tb: int = DEFAULT_TB,
     interpret: bool = False,
+    inner: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched complex FFT of TIME-MAJOR planes [N, B] (B % tb == 0).
 
     Unscaled both directions; canonical bin order (Stockham autosort).
+    inner > 0 processes each [N, tb] block in sequential ``inner``-column
+    chunks (smaller Mosaic scoped-VMEM stack at wide tiles).
     """
 
     if not supported(plan):
@@ -231,7 +303,9 @@ def cfft_pallas_tmajor(
         raise ValueError(f"data length {n} != plan engine length {plan.engine_n}")
     if b % tb:
         raise ValueError(f"batch {b} must be a multiple of tile {tb}")
-    call = _build(plan, backward, tb, interpret)
+    if inner and tb % inner:
+        raise ValueError(f"tile {tb} must be a multiple of inner chunk {inner}")
+    call = _build(plan, backward, tb, interpret, inner)
     return call(re, im)
 
 

@@ -161,3 +161,97 @@ def test_dispatch_thin_plan_reroute_matches():
             dp._MEASURED_TABLE.pop(key, None)
         else:
             dp._MEASURED_TABLE[key] = prev
+
+
+def test_tb_policy():
+    """Per-N measured tile policy (pallas_tb2_r3.txt): best first, VMEM
+    gate folded in, None when no candidate divides the batch."""
+
+    assert pk.tb_candidates(256)[0] == 1024
+    assert pk.tb_candidates(512)[0] == 384
+    assert pk.tb_candidates(1024) == (128,)
+    assert pk.best_tb(256, 4096) == 1024
+    assert pk.best_tb(256, 512) == 512       # fallback down the list
+    assert pk.best_tb(512, 128 * 5) == 128   # 384 nor 256 divide 640
+    assert pk.best_tb(1024, 100) is None     # not lane-tile aligned
+    # unmeasured length: conservative n*tb envelope (floored at one lane
+    # tile), lane-tile multiples only
+    cands = pk.tb_candidates(2048)
+    assert cands == (128,)
+    cands = pk.tb_candidates(160)
+    assert cands[0] * 160 <= pk._SAFE_ELEMS and all(c % 128 == 0 for c in cands)
+
+
+def test_wide_tile_matches_engine():
+    """The wide measured tiles must produce identical spectra (interpret
+    mode exercises the same kernel trace Mosaic compiles)."""
+
+    from pffft_tpu.ops import split as sp
+
+    for n, tb in ((256, 1024), (512, 384)):
+        plan = pf.new_setup(n, pf.COMPLEX, max_factor=5)
+        r = _rng(n)
+        re = jnp.asarray(r.standard_normal((n, tb)).astype(np.float32))
+        im = jnp.asarray(r.standard_normal((n, tb)).astype(np.float32))
+        kr, ki = pk.cfft_pallas_tmajor(plan, re, im, tb=tb, interpret=True)
+        er, ei = sp.cfft_stages_split_tmajor(
+            re, im, plan.stages, backward=False, ordered=True)
+        scale = float(jnp.abs(er).max())
+        assert float(jnp.abs(kr - er).max()) < 1e-5 * scale
+        assert float(jnp.abs(ki - ei).max()) < 1e-5 * scale
+
+
+def test_set_engine_invalidates_jit_cache(monkeypatch):
+    """Regression: the engine choice is baked in at trace time, so the
+    public transforms' jit caches must key on the dispatch state — else
+    set_engine after a first call silently keeps the old engine (and any
+    forced-engine A/B compares an executable against itself)."""
+
+    from pffft_tpu.ops import dispatch as dp
+    from pffft_tpu.ops import pallas_fft as pk_mod
+
+    n = 256
+    plan = pf.new_setup(n, pf.COMPLEX, max_factor=5)
+    r = _rng(5)
+    re = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+    im = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+
+    calls = {"pallas": 0}
+    real_kernel = pk_mod.cfft_pallas_tmajor
+
+    def counting(*a, **k):
+        calls["pallas"] += 1
+        return real_kernel(*a, **k)
+
+    monkeypatch.setattr(dp._pk, "cfft_pallas_tmajor", counting)
+    dp.set_engine("pallas")
+    try:
+        pf.fft.transform_ordered_split_tmajor(plan, (re, im), pf.FORWARD)
+        assert calls["pallas"] == 1
+    finally:
+        dp.set_engine(None)
+    # default on CPU is xla: a fresh trace must NOT reuse the pallas one
+    before = calls["pallas"]
+    pf.fft.transform_ordered_split_tmajor(plan, (re, im), pf.FORWARD)
+    assert calls["pallas"] == before
+
+
+def test_cmul_mode_invalidates_jit_cache():
+    """Regression: set_cmul_mode must yield a fresh executable through the
+    cached public transforms (same trace-time-global hazard as engines)."""
+
+    from pffft_tpu.ops import dispatch as dp
+    from pffft_tpu.ops import split as sp
+
+    plan = pf.new_setup(256, pf.COMPLEX)
+    k0 = dp.state_key()
+    f0 = pf.fft._jitted_split(plan, False, True, k0)
+    forced = "gauss" if sp.cmul_mode() != "gauss" else "4mul"
+    sp.set_cmul_mode(forced)
+    try:
+        k1 = dp.state_key()
+        assert k1 != k0
+        assert pf.fft._jitted_split(plan, False, True, k1) is not f0
+    finally:
+        sp.set_cmul_mode(None)
+    assert pf.fft._jitted_split(plan, False, True, dp.state_key()) is f0
