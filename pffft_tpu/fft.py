@@ -261,12 +261,39 @@ def spectrum_pack(r: jax.Array) -> jax.Array:
 
 @functools.lru_cache(maxsize=1024)
 def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
-    """Time-major complex transform: planes [N, B], batch on the lanes.
+    """Time-major transform: planes [N, B], batch on the lanes.
 
     The layout for callers whose streams are already [time, channel] —
     no transpose pass in or out (ops/dispatch routes to the native
-    time-major engine for chain plans; measured winner at several sizes,
-    benchmarks/results/engines_r3.csv xla_tmajor rows)."""
+    time-major engine / the pallas VPU kernel per the measured table;
+    benchmarks/results/routed_tb_r3.txt).  REAL plans run the packed
+    half-length complex engine with axis-0 pack/split steps."""
+
+    if plan.is_real:
+        if backward:
+            def fn(sr, si):
+                zr, zi = _split.real_backward_split_planar_tmajor(
+                    sr.astype(plan.dtype.type), si.astype(plan.dtype.type),
+                    plan.real_twiddle,
+                )
+                wr, wi = _dispatch.cfft_dispatch(
+                    plan, zr, zi, backward=True, time_major=True
+                )
+                return _split.interleave_to_real_split_tmajor(wr, wi).astype(
+                    plan.dtype.type
+                )
+        else:
+            def fn(x):
+                zr, zi = _split.pack_real_input_split_tmajor(
+                    x.astype(plan.dtype.type)
+                )
+                zr, zi = _dispatch.cfft_dispatch(
+                    plan, zr, zi, backward=False, time_major=True
+                )
+                return _split.real_forward_split_planar_tmajor(
+                    zr, zi, plan.real_twiddle
+                )
+        return jax.jit(fn)
 
     def fn(re, im):
         return _dispatch.cfft_dispatch(
@@ -277,14 +304,30 @@ def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
 
 
 def transform_ordered_split_tmajor(plan: Plan, x, direction=FORWARD):
-    """Split-format ordered COMPLEX transform in TIME-MAJOR layout.
+    """Split-format ordered transform in TIME-MAJOR layout.
 
-    x = (re, im) with planes [N, B] -> (re, im) [N, B].  Complex plans
-    only (the real path's packing is inherently last-axis)."""
+    COMPLEX:       x = (re, im) planes [N, B] -> (re, im) [N, B]
+    REAL forward:  x [N, B] real             -> (re, im) [N/2, B]
+    REAL backward: x = (re, im) [N/2, B]     -> [N, B] real (unscaled)
+
+    Same spectrum convention as transform_ordered_split (packed bin0 =
+    DC + i*Nyquist for real plans), transposed."""
 
     d = _plan._coerce_direction(direction)
     if plan.is_real:
-        raise ValueError("time-major layout supports COMPLEX plans only")
+        if d == BACKWARD:
+            sr, si = x
+            if sr.ndim != 2 or sr.shape[0] != plan.spectrum_size:
+                raise ValueError(
+                    f"time-major real spectrum planes must be "
+                    f"[{plan.spectrum_size}, B]; got {sr.shape}"
+                )
+            return _jitted_split_tmajor(plan, True, _dispatch.state_key())(sr, si)
+        if x.ndim != 2 or x.shape[0] != plan.n:
+            raise ValueError(
+                f"time-major real input must be [N={plan.n}, B]; got {x.shape}"
+            )
+        return _jitted_split_tmajor(plan, False, _dispatch.state_key())(x)
     re, im = x
     if re.ndim != 2 or re.shape[0] != plan.n:
         raise ValueError(

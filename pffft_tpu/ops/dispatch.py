@@ -67,11 +67,13 @@ def _thin_plan(n: int) -> Optional[_plan.Plan]:
 
 def _pallas_plan(plan: _plan.Plan) -> Optional[_plan.Plan]:
     """The plan the pallas engine would run: the caller's if it is already
-    a thin chain, else a derived thin plan for the same N (f32 only)."""
+    a thin chain, else a derived thin plan for the same engine length
+    (f32 only).  REAL plans derive the thin plan at engine_n = N/2 — the
+    dispatcher serves their half-length complex sub-transform."""
 
-    if plan.is_real or plan.dtype != np.float32:
+    if plan.dtype != np.float32:
         return None
-    if _pk.supported(plan):
+    if not plan.is_real and _pk.supported(plan):
         return plan
     return _thin_plan(plan.engine_n)
 

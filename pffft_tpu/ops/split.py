@@ -917,3 +917,75 @@ def interleave_to_real_split(wr: jax.Array, wi: jax.Array) -> jax.Array:
     lead = wr.shape[:-1]
     h = wr.shape[-1]
     return jnp.stack([wr, wi], axis=-1).reshape(*lead, 2 * h)
+
+
+# ---------------------------------------------------------------------------
+# Time-major real path: planes [H, B] (axis-0 mirrors of the functions
+# above).  Lets the real transform ride the time-major engine dispatch —
+# the half-length complex engine (engine_n = N/2) is exactly the size
+# class where the pallas VPU kernel wins (routed_tb_r3.txt), so real
+# N <= 2048 gets the kernel's single HBM pass.  The axis-0 flips here are
+# sublane relayouts, not the minor-axis rev that serializes (_flip_last).
+# ---------------------------------------------------------------------------
+
+
+def pack_real_input_split_tmajor(x: jax.Array) -> SplitPair:
+    """[N, B] real -> planar [N/2, B] x2: z[m] = x[2m] + i x[2m+1]."""
+
+    n, b = x.shape
+    xz = x.reshape(n // 2, 2, b)
+    return xz[:, 0], xz[:, 1]
+
+
+def _reverse_conj_split_tmajor(zr: jax.Array, zi: jax.Array) -> SplitPair:
+    """y[k] = conj(z[(H - k) mod H]) along axis 0."""
+
+    return (
+        jnp.concatenate([zr[:1], zr[::-1][:-1]], axis=0),
+        -jnp.concatenate([zi[:1], zi[::-1][:-1]], axis=0),
+    )
+
+
+def real_forward_split_planar_tmajor(zr, zi, real_twiddle: np.ndarray) -> SplitPair:
+    """Time-major mirror of :func:`real_forward_split_planar`."""
+
+    cr, ci = _reverse_conj_split_tmajor(zr, zi)
+    er, ei = 0.5 * (zr + cr), 0.5 * (zi + ci)
+    orr, oi = 0.5 * (zi - ci), -0.5 * (zr - cr)
+    twr, twi = _split_real_tw(real_twiddle)
+    wr = jnp.asarray(twr, dtype=zr.dtype)[:, None]
+    wi = jnp.asarray(twi, dtype=zr.dtype)[:, None]
+    xr = er + wr * orr - wi * oi
+    xi = ei + wr * oi + wi * orr
+    dc = zr[0] + zi[0]
+    nyq = zr[0] - zi[0]
+    return (
+        jnp.concatenate([dc[None], xr[1:]], axis=0),
+        jnp.concatenate([nyq[None], xi[1:]], axis=0),
+    )
+
+
+def real_backward_split_planar_tmajor(sr, si, real_twiddle: np.ndarray) -> SplitPair:
+    """Time-major mirror of :func:`real_backward_split_planar` (returns 2*Z)."""
+
+    nyq = si[0]
+    zero = jnp.zeros_like(nyq)
+    xar = sr
+    xai = jnp.concatenate([zero[None], si[1:]], axis=0)
+    xbr = jnp.concatenate([nyq[None], xar[::-1][:-1]], axis=0)
+    xbi = jnp.concatenate([zero[None], xai[::-1][:-1]], axis=0)
+    er, ei = xar + xbr, xai - xbi
+    dr, di = xar - xbr, xai + xbi
+    twr, twi = _split_real_tw(real_twiddle)
+    wr = jnp.asarray(twr, dtype=sr.dtype)[:, None]
+    wi = jnp.asarray(twi, dtype=sr.dtype)[:, None]
+    orr = wr * dr + wi * di
+    oi = wr * di - wi * dr
+    return er - oi, ei + orr
+
+
+def interleave_to_real_split_tmajor(wr: jax.Array, wi: jax.Array) -> jax.Array:
+    """Planar [H, B] x2 -> [N, B] real: x[2m] = re[m], x[2m+1] = im[m]."""
+
+    h, b = wr.shape
+    return jnp.stack([wr, wi], axis=1).reshape(2 * h, b)

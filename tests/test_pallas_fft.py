@@ -255,3 +255,52 @@ def test_cmul_mode_invalidates_jit_cache():
     finally:
         sp.set_cmul_mode(None)
     assert pf.fft._jitted_split(plan, False, True, dp.state_key()) is f0
+
+
+@pytest.mark.parametrize("n", [512, 2048, 1920])
+def test_real_tmajor_matches_batch_major(n):
+    """Time-major REAL transforms: same packed spectrum as the batch-major
+    path (transposed) and unscaled roundtrip; the half-length complex
+    engine rides the time-major dispatch (pallas-routable at N<=2048)."""
+
+    plan = pf.new_setup(n, pf.REAL)
+    r = _rng(n)
+    x = r.standard_normal((n, 16)).astype(np.float32)
+    sr, si = pf.fft.transform_ordered_split_tmajor(plan, jnp.asarray(x), pf.FORWARD)
+    br, bi = pf.fft.transform_ordered_split(plan, jnp.asarray(x.T), pf.FORWARD)
+    scale = float(jnp.abs(br).max())
+    assert float(jnp.abs(sr - br.T).max()) < 1e-5 * scale
+    assert float(jnp.abs(si - bi.T).max()) < 1e-5 * scale
+    back = pf.fft.transform_ordered_split_tmajor(plan, (sr, si), pf.BACKWARD)
+    assert float(jnp.abs(back / n - x).max()) < 1e-5
+
+
+def test_real_tmajor_forced_pallas_matches():
+    """The REAL time-major route through the forced pallas engine must
+    match the xla route bin-for-bin (interpret mode on CPU)."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    n = 512
+    plan = pf.new_setup(n, pf.REAL)
+    r = _rng(77)
+    x = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+    ar, ai = pf.fft.transform_ordered_split_tmajor(plan, x, pf.FORWARD)
+    dp.set_engine("pallas")
+    try:
+        pr, pi = pf.fft.transform_ordered_split_tmajor(plan, x, pf.FORWARD)
+    finally:
+        dp.set_engine(None)
+    scale = float(jnp.abs(ar).max())
+    assert float(jnp.abs(pr - ar).max()) < 2e-5 * scale
+    assert float(jnp.abs(pi - ai).max()) < 2e-5 * scale
+
+
+def test_real_tmajor_shape_errors():
+    plan = pf.new_setup(512, pf.REAL)
+    with pytest.raises(ValueError):
+        pf.fft.transform_ordered_split_tmajor(
+            plan, jnp.zeros((511, 4), jnp.float32), pf.FORWARD)
+    with pytest.raises(ValueError):
+        pf.fft.transform_ordered_split_tmajor(
+            plan, (jnp.zeros((512, 4), jnp.float32),) * 2, pf.BACKWARD)
