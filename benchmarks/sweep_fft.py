@@ -155,6 +155,9 @@ def main():
     ap.add_argument("--non-pow2", action="store_true")
     ap.add_argument("--trials", type=int, default=None, help="best-of-N per point")
     ap.add_argument("--compare", action="store_true", help="competitor columns")
+    ap.add_argument("--tmajor", action="store_true",
+                    help="time-major layout [N, B] through the dispatched "
+                         "tmajor transforms (pallas-routed at N<=1024)")
     args = ap.parse_args()
 
     import jax
@@ -200,12 +203,21 @@ def main():
             prep_ms = (time.perf_counter() - t_prep0) * 1e3
             xnp = znp = None
             if kind == "real":
-                xnp = rng.standard_normal((batch, n)).astype(np.float32)
-                x = jnp.asarray(xnp)
+                if args.tmajor:
+                    xnp = rng.standard_normal((n, batch)).astype(np.float32)
+                    x = jnp.asarray(xnp)
 
-                def step(v, p=plan):
-                    sr, si = pf.fft.transform_ordered_split(p, v, pf.FORWARD)
-                    return (pf.fft.transform_ordered_split(p, (sr, si), pf.BACKWARD),)
+                    def step(v, p=plan):
+                        sr, si = pf.fft.transform_ordered_split_tmajor(p, v, pf.FORWARD)
+                        return (pf.fft.transform_ordered_split_tmajor(
+                            p, (sr, si), pf.BACKWARD),)
+                else:
+                    xnp = rng.standard_normal((batch, n)).astype(np.float32)
+                    x = jnp.asarray(xnp)
+
+                    def step(v, p=plan):
+                        sr, si = pf.fft.transform_ordered_split(p, v, pf.FORWARD)
+                        return (pf.fft.transform_ordered_split(p, (sr, si), pf.BACKWARD),)
 
                 tc0 = time.perf_counter()
                 ts = [bench_op(step, (x,)) / 2.0 for _ in range(trials)]
@@ -215,16 +227,24 @@ def main():
                 mf = 2.5 * n * math.log2(n)
             else:
                 znp = (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
-                re = jnp.asarray(znp.real.copy())
-                im = jnp.asarray(znp.imag.copy())
-                step = lambda r, i, p=plan: pf.fft.transform_ordered_split(p, (r, i), pf.FORWARD)
+                if args.tmajor:
+                    re = jnp.asarray(znp.real.T.copy())
+                    im = jnp.asarray(znp.imag.T.copy())
+                    step = lambda r, i, p=plan: pf.fft.transform_ordered_split_tmajor(
+                        p, (r, i), pf.FORWARD)
+                else:
+                    re = jnp.asarray(znp.real.copy())
+                    im = jnp.asarray(znp.imag.copy())
+                    step = lambda r, i, p=plan: pf.fft.transform_ordered_split(p, (r, i), pf.FORWARD)
                 tc0 = time.perf_counter()
                 ts = [bench_op(step, (re, im)) for _ in range(trials)]
                 compile_s = time.perf_counter() - tc0 - sum(ts)
                 t = min(ts)
-                # unordered (internal layout) variant — the PFFFT-U analog
-                stepu = lambda r, i, p=plan: pf.fft.transform_split(p, (r, i), pf.FORWARD)
-                tu = min(bench_op(stepu, (re, im)) for _ in range(max(1, trials - 1)))
+                tu = None
+                if not args.tmajor:
+                    # unordered (internal layout) variant — the PFFFT-U analog
+                    stepu = lambda r, i, p=plan: pf.fft.transform_split(p, (r, i), pf.FORWARD)
+                    tu = min(bench_op(stepu, (re, im)) for _ in range(max(1, trials - 1)))
                 bytes_min = 4 * batch * n * 4
                 mf = 5.0 * n * math.log2(n)
             sol = (bytes_min / SPEC_BW_V5E) / t
@@ -247,6 +267,7 @@ def main():
             # that were artifacts; the median must not beat the vetted best
             t_med = max(sorted(ts)[len(ts) // 2], t)
             row = dict(kind=kind, n=n, batch=batch,
+                       layout="tmajor" if args.tmajor else "bmajor",
                        ns_per=round(t / batch * 1e9, 2),
                        gflops=round(mf * batch / t / 1e9, 1),
                        gflops_med=round(mf * batch / t_med / 1e9, 1),
