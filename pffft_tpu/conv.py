@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import fft as _fft
+from .ops import dispatch as _dispatch
 from . import plan as _plan
 
 __all__ = ["ConvFlags", "FastConv", "StreamingConv", "new_setup", "apply", "fastconv_valid"]
@@ -186,7 +187,7 @@ class FastConv:
         return jax.lax.complex(self.hf_re, self.hf_im).astype(self.plan.cdtype)
 
     @functools.lru_cache(maxsize=256)
-    def _jitted_pipeline(self, nb: int):
+    def _jitted_pipeline(self, nb: int, ekey=None):
         plan, scale = self.plan, self.scale
         if self.cplx_filter:
             hf = self._hf_cplx
@@ -211,7 +212,7 @@ class FastConv:
         """Valid-mode overlap-save conv of a scalar stream; returns [total_out]."""
 
         frames, nb, u = self._frame(x, total_out)
-        y = self._jitted_pipeline(nb)(frames)
+        y = self._jitted_pipeline(nb, _dispatch.state_key())(frames)
         y = y[:, :u].reshape(-1)
         return y[:total_out]
 
@@ -278,7 +279,7 @@ class FastConv:
             if total <= 0:
                 return jnp.zeros((0,), dtype=self.plan.cdtype), 0
             frames, nb, u = self._frame(x.astype(self.plan.cdtype), total)
-            y = self._jitted_pipeline(nb)(frames)
+            y = self._jitted_pipeline(nb, _dispatch.state_key())(frames)
             return y[:, :u].reshape(-1)[:total], total
         if self.single_fft:
             # interleaved stream as a real vector of length 2*n_cplx
@@ -376,7 +377,7 @@ class StreamingConv:
 
     def _run(self, frames: np.ndarray) -> np.ndarray:
         s = self.setup
-        y = s._jitted_pipeline(frames.shape[0])(jnp.asarray(frames))
+        y = s._jitted_pipeline(frames.shape[0], _dispatch.state_key())(jnp.asarray(frames))
         return np.asarray(y[:, : s.num_out_per_block]).reshape(-1)
 
     def push(self, chunk) -> np.ndarray:
