@@ -50,6 +50,20 @@ def main():
     print(f"roundtrip max err: {err:.2e}")
     assert err < 1e-4
 
+    # REAL capture, same layout: [N, C] real -> [N/2, C] packed planes.
+    # On the TPU the half-length complex engine routes to the pallas VPU
+    # kernel for real N <= 2048 (measured table; results/routed_tb_r3.txt).
+    rplan = pf.new_setup(n, pf.REAL)
+    x = jnp.asarray(np.cos(phase).astype(np.float32))
+    rr, ri = pf.transform_ordered_split_tmajor(rplan, x, pf.FORWARD)
+    rmag = np.abs(np.asarray(rr) + 1j * np.asarray(ri))
+    rmag[0] = 0  # packed bin0 = DC + i*Nyquist
+    assert (rmag.argmax(axis=0) == bins).all()
+    back = pf.transform_ordered_split_tmajor(rplan, (rr, ri), pf.BACKWARD)
+    rerr = float(jnp.abs(back / n - x).max())
+    print(f"real [N, C] path: tones detected, roundtrip max err {rerr:.2e}")
+    assert rerr < 1e-4
+
 
 if __name__ == "__main__":
     main()
