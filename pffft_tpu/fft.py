@@ -323,6 +323,11 @@ def transform_ordered_split_tmajor(plan: Plan, x, direction=FORWARD):
                     f"[{plan.spectrum_size}, B]; got {sr.shape}"
                 )
             return _jitted_split_tmajor(plan, True, _dispatch.state_key())(sr, si)
+        if isinstance(x, (tuple, list)):
+            raise ValueError(
+                "time-major REAL forward takes a single [N, B] real array "
+                "(got a tuple; planar pairs are the spectrum side)"
+            )
         if x.ndim != 2 or x.shape[0] != plan.n:
             raise ValueError(
                 f"time-major real input must be [N={plan.n}, B]; got {x.shape}"

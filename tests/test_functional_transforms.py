@@ -95,7 +95,8 @@ def test_grad_through_fastconv_filter():
 
 def test_transform_ordered_split_tmajor():
     """Public time-major split transform: [N, B] planes, no transposes,
-    matches the batch-major path and numpy; rejects REAL plans."""
+    matches the batch-major path and numpy; REAL plans take a single
+    real array forward (a planar tuple there is a ValueError)."""
 
     import jax.numpy as jnp
     import numpy as np
