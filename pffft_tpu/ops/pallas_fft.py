@@ -159,6 +159,40 @@ def _butterfly(r: int, a, sign: float):
             out[t] = (er - fi, ei + fr)
             out[5 - t] = (er + fi, ei - fr)
         return out
+    if r == 8:
+        # i = 2a + b: radix-4 over a per parity b, then a twiddled radix-2
+        # over b — y[c+4d] = A0[c] + W8^{sign*c} * (-1)^d * A1[c].
+        ev = _butterfly(4, a[0::2], sign)
+        od = _butterfly(4, a[1::2], sign)
+        out = [None] * 8
+        for c in range(4):
+            er, ei = ev[c]
+            xr, xi = od[c]
+            if c:
+                ang = 2 * math.pi * c / 8
+                wr, wi = math.cos(ang), sign * math.sin(ang)
+                xr, xi = xr * wr - xi * wi, xr * wi + xi * wr
+            out[c] = (er + xr, ei + xi)
+            out[c + 4] = (er - xr, ei - xi)
+        return out
+    if r == 16:
+        # i = 4a + b: radix-4 over a per residue b, constant twiddles
+        # W16^{sign*b*c}, then a radix-4 over b — y[c+4d] = R4_d(W^{bc} A_b[c]).
+        cols = [_butterfly(4, a[b::4], sign) for b in range(4)]
+        out = [None] * 16
+        for c in range(4):
+            slabs = []
+            for b in range(4):
+                xr, xi = cols[b][c]
+                if b and c:
+                    ang = 2 * math.pi * b * c / 16
+                    wr, wi = math.cos(ang), sign * math.sin(ang)
+                    xr, xi = xr * wr - xi * wi, xr * wi + xi * wr
+                slabs.append((xr, xi))
+            ys = _butterfly(4, slabs, sign)
+            for d in range(4):
+                out[c + 4 * d] = ys[d]
+        return out
     raise ValueError(f"unsupported radix {r}")
 
 
@@ -231,8 +265,46 @@ def supported(plan: _plan.Plan) -> bool:
     return (
         plan.local_split is None
         and len(plan.stages) > 0
-        and all(st.r in (1, 2, 3, 4, 5) for st in plan.stages)
+        and all(st.r in (1, 2, 3, 4, 5, 8, 16) for st in plan.stages)
     )
+
+
+def thin_factors(n: int, radix16: bool = True) -> Tuple[int, ...] | None:
+    """A kernel-supported stage chain for engine length ``n``.
+
+    radix16=True prefers fat 16/8 stages (fewest VMEM traversals — each
+    stage is a full pass over the [N, TB] tile in VMEM, so a (16,16,4)
+    chain at N=1024 does 3 passes where the radix<=5 (4,4,4,4,4) chain
+    does 5); False gives the radix<=5 chain.  None if n is not
+    2/3/5-smooth."""
+
+    a = 0
+    m = n
+    while m % 2 == 0:
+        m //= 2
+        a += 1
+    out = []
+    if radix16:
+        while a >= 4:
+            out.append(16)
+            a -= 4
+        if a == 3:
+            out.append(8)
+            a = 0
+    while a >= 2:
+        out.append(4)
+        a -= 2
+    if a:
+        out.append(2)
+    while m % 5 == 0:
+        out.append(5)
+        m //= 5
+    while m % 3 == 0:
+        out.append(3)
+        m //= 3
+    if m != 1:
+        return None
+    return tuple(out)
 
 
 @functools.lru_cache(maxsize=256)
