@@ -50,7 +50,8 @@ _PALLAS_VMEM_BUDGET = 12 << 20
 
 @_functools.lru_cache(maxsize=64)
 def _thin_plan(n: int) -> Optional[_plan.Plan]:
-    """Radix<=5 chain plan for the VPU kernel.
+    """Kernel chain plan for the VPU kernel (radix<=5, or the radix-16/8
+    chain where measured better — pallas_fft.chain_pref).
 
     The canonical ORDERED spectrum is factorization-independent, so the
     dispatcher may run a pallas-routed ordered transform through its own
@@ -59,7 +60,12 @@ def _thin_plan(n: int) -> Optional[_plan.Plan]:
     (>= the 140 dB float bound; CLAUDE.md / results archives)."""
 
     try:
-        p = _plan.new_setup(n, _plan.COMPLEX, max_factor=5)
+        if _pk.chain_pref(n):
+            p = _plan.new_setup(
+                n, _plan.COMPLEX, factors=_pk.thin_factors(n, radix16=True)
+            )
+        else:
+            p = _plan.new_setup(n, _plan.COMPLEX, max_factor=5)
     except ValueError:
         return None
     return p if _pk.supported(p) else None
@@ -145,6 +151,18 @@ def record_engine(backend: str, n: int, engine: str, time_major: bool = False) -
     if engine not in ("xla", "fused2", "pallas"):
         raise ValueError(f"unknown engine {engine!r}")
     _MEASURED_TABLE[(backend, int(n), bool(time_major))] = engine
+    _TABLE_VERSION += 1
+
+
+def set_chain_pref(n: int, radix16: bool) -> None:
+    """Set the kernel chain preference for engine length ``n`` (measured
+    via scripts/r3_radix16.py) and invalidate the dependent caches (the
+    thin-plan cache and, through the table version, the public
+    transforms' jit caches)."""
+
+    global _TABLE_VERSION
+    _pk._CHAIN_PREF[int(n)] = bool(radix16)
+    _thin_plan.cache_clear()
     _TABLE_VERSION += 1
 
 

@@ -97,6 +97,17 @@ def best_tb(n: int, batch: int) -> int | None:
             return tb
     return None
 
+
+# Measured chain preference per engine length: True = the radix-16/8
+# chain (fewest VMEM traversals), False = the radix<=5 chain.  Filled
+# from scripts/r3_radix16.py once raced on the chip; default False
+# (the shipped, measured configuration).
+_CHAIN_PREF: dict = {}
+
+
+def chain_pref(n: int) -> bool:
+    return _CHAIN_PREF.get(n, False)
+
 _SQRT3_2 = math.sqrt(3.0) / 2.0
 # radix-5 constants: cos/sin of 2pi/5, 4pi/5 (cf. radf5_ps tr11/ti11/tr12/ti12,
 # pffft_priv_impl.h:633 — same algebra, derived from the DFT matrix)

@@ -304,3 +304,43 @@ def test_real_tmajor_shape_errors():
     with pytest.raises(ValueError):
         pf.fft.transform_ordered_split_tmajor(
             plan, (jnp.zeros((512, 4), jnp.float32),) * 2, pf.BACKWARD)
+
+
+@pytest.mark.parametrize("n", [128, 1024, 768, 640])
+def test_radix16_chain_matches_numpy(n):
+    """Radix-16/8 kernel chains (fewest VMEM traversals) vs numpy, both
+    directions, incl. mixed radices."""
+
+    f = pk.thin_factors(n, radix16=True)
+    assert 16 in f or 8 in f
+    plan = pf.new_setup(n, pf.COMPLEX, factors=f, strict=False)
+    assert pk.supported(plan)
+    r = _rng(n)
+    re = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+    im = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+    z = np.asarray(re).astype(np.float64) + 1j * np.asarray(im).astype(np.float64)
+    for backward in (False, True):
+        kr, ki = pk.cfft_pallas_tmajor(plan, re, im, backward=backward, interpret=True)
+        ref = np.fft.ifft(z, axis=0) * n if backward else np.fft.fft(z, axis=0)
+        err = np.abs((np.asarray(kr) + 1j * np.asarray(ki)) - ref).max()
+        assert err < 1e-5 * np.abs(ref).max(), (n, backward)
+
+
+def test_chain_pref_switches_thin_plan():
+    """set_chain_pref must invalidate the thin-plan cache and the public
+    jit caches (state key)."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    n = 256
+    p0 = dp._thin_plan(n)
+    assert p0 is not None and max(p0.factors) <= 5
+    k0 = dp.state_key()
+    dp.set_chain_pref(n, True)
+    try:
+        p1 = dp._thin_plan(n)
+        assert p1.factors == (16, 16)
+        assert dp.state_key() != k0
+    finally:
+        dp.set_chain_pref(n, False)
+    assert max(dp._thin_plan(n).factors) <= 5
