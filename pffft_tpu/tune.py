@@ -29,6 +29,7 @@ from . import plan as _plan
 
 __all__ = [
     "tuned_setup",
+    "tune_engine",
     "candidate_max_factors",
     "candidate_policies",
     "clear_tune_cache",
@@ -163,6 +164,92 @@ def _time_plan(n: int, kind, dtype, policy, batch: int, iters: int) -> float:
         if slope > 0:
             best = min(best, slope)
     return best
+
+
+def tune_engine(
+    n: int,
+    batch: int,
+    *,
+    time_major: bool = True,
+    dtype="float32",
+    iters: int = 8,
+    rounds: int = 3,
+) -> str:
+    """Race the AVAILABLE engines (ops/dispatch registry) for this exact
+    (N, batch, layout) on the current backend, record the winner in the
+    measured dispatch table (``record_engine``), and return its name.
+
+    The engine-level MEASURE mode: ``tuned_setup`` picks the stage chain
+    for the XLA engine; this picks between engines (xla / fused2 /
+    pallas kernel) for the caller's real workload shape.  Interleaved
+    rounds, median decides.  Requires the jit caches to key on
+    ``dispatch.state_key()`` — forcing an engine must produce a fresh
+    trace (the round-3 cache-poisoning fix)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import dispatch as _dispatch
+
+    plan = _plan.Plan.create(n, _plan.COMPLEX, dtype, strict=False)
+    avail = _dispatch.available_engines(plan, batch, time_major)
+    if len(avail) == 1:
+        return avail[0]
+
+    rng = np.random.default_rng(0)
+    rdt = np.dtype(dtype)
+    shape = (n, batch) if time_major else (batch, n)
+    re = jnp.asarray(rng.standard_normal(shape).astype(rdt))
+    im = jnp.asarray(rng.standard_normal(shape).astype(rdt))
+
+    def timed(engine: str) -> float:
+        _dispatch.set_engine(engine)
+        try:
+            def looped(k):
+                @jax.jit
+                def run(r, i):
+                    def body(_, c):
+                        if time_major:
+                            rr, ii = _fft.transform_ordered_split_tmajor(
+                                plan, (c[0], c[1]), _plan.FORWARD)
+                        else:
+                            rr, ii = _fft.transform_ordered_split(
+                                plan, (c[0], c[1]), _plan.FORWARD)
+                        return jax.lax.optimization_barrier((rr, ii))
+
+                    out = jax.lax.fori_loop(0, k, body, (r, i))
+                    return jnp.sum(out[0]) + jnp.sum(out[1])
+
+                return run
+
+            k1, k2 = 2, 2 + iters
+            r1, r2 = looped(k1), looped(k2)
+            float(r1(re, im))
+            float(r2(re, im))
+            best = float("inf")
+            t0 = time.perf_counter()
+            float(r1(re, im))
+            t1 = time.perf_counter()
+            float(r2(re, im))
+            t2 = time.perf_counter()
+            slope = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+            return slope if slope > 0 else best
+        except Exception:
+            return float("inf")
+        finally:
+            _dispatch.set_engine(None)
+
+    times = {e: [] for e in avail}
+    for _ in range(max(1, rounds)):
+        for e in avail:
+            times[e].append(timed(e))
+    med = {e: sorted(ts)[len(ts) // 2] for e, ts in times.items()}
+    winner = min(med, key=med.get)
+    if med[winner] < float("inf"):
+        _dispatch.record_engine(
+            jax.default_backend(), plan.engine_n, winner, time_major
+        )
+    return winner
 
 
 def _disk_cache_path() -> Optional[str]:

@@ -95,3 +95,37 @@ def test_measured_engine_table_consulted():
     avail = dp.available_engines(plan, 64, False)
     assert got == ("fused2" if "fused2" in avail else "xla")
     dp.record_engine(backend, 1024, "xla")  # restore
+
+
+def test_tune_engine_records_winner():
+    """tune_engine races the available engines for the exact workload
+    shape and records the winner in the measured dispatch table."""
+
+    import jax
+
+    import pffft_tpu as pf
+    from pffft_tpu import tune
+    from pffft_tpu.ops import dispatch as dp
+
+    backend = jax.default_backend()
+    key = (backend, 256, True)
+    prev = dp._MEASURED_TABLE.get(key)
+    try:
+        w = tune.tune_engine(256, 128, time_major=True, iters=2, rounds=1)
+        plan = pf.new_setup(256, pf.COMPLEX)
+        assert w in dp.available_engines(plan, 128, True)
+        assert dp._MEASURED_TABLE.get(key) == w
+        # the recorded winner is what select_engine now returns
+        assert dp.select_engine(plan, 128, True) == w
+    finally:
+        if prev is None:
+            dp._MEASURED_TABLE.pop(key, None)
+        else:
+            dp._MEASURED_TABLE[key] = prev
+
+
+def test_tune_engine_single_candidate_short_circuits():
+    from pffft_tpu import tune
+
+    # batch-major: only xla is available -> no measurement, no recording
+    assert tune.tune_engine(256, 100, time_major=False) == "xla"
