@@ -226,14 +226,13 @@ def tune_engine(
             r1, r2 = looped(k1), looped(k2)
             float(r1(re, im))
             float(r2(re, im))
-            best = float("inf")
             t0 = time.perf_counter()
             float(r1(re, im))
             t1 = time.perf_counter()
             float(r2(re, im))
             t2 = time.perf_counter()
             slope = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
-            return slope if slope > 0 else best
+            return slope if slope > 0 else float("inf")
         except Exception:
             return float("inf")
         finally:
