@@ -12,7 +12,10 @@ butterfly is then an elementwise op over [l, m, TB] slabs — full VPU
 utilization, no lane shuffles; the Stockham merges are pure relabels of the
 sublane axis.  Radix-2/4 butterflies are add/sub only; radix-3/5 use
 exact-rational/±sqrt constants (same constants as radf3/radf5,
-pffft_priv_impl.h:386-807, derived independently from the DFT matrix).
+pffft_priv_impl.h:386-807, derived independently from the DFT matrix);
+radix-8/16 nest radix-4 with constant twiddles — fat stages mean fewer
+full-tile VMEM traversals (a (16,16,4) chain at N=1024 makes 3 passes
+over the tile where (4,4,4,4,4) makes 5).
 
 The kernel consumes/produces TIME-MAJOR data: planes [N, B] (transform
 index first).  This is the engine's natural layout — the batched analog of
