@@ -65,6 +65,14 @@ from . import fft
 from . import parallel
 from . import tune
 from .tune import tuned_setup
+from . import bluestein
+from .bluestein import (
+    BluesteinPlan,
+    new_setup_any,
+    next_smooth_size,
+    rfft_any,
+    irfft_any,
+)
 
 __version__ = "0.2.0"
 
@@ -105,6 +113,12 @@ __all__ = [
     "parallel",
     "tune",
     "tuned_setup",
+    "bluestein",
+    "BluesteinPlan",
+    "new_setup_any",
+    "next_smooth_size",
+    "rfft_any",
+    "irfft_any",
     "cfft",
     "icfft",
     "rfft_packed",

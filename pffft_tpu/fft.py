@@ -143,6 +143,10 @@ def transform_ordered(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
     """
 
     d = _plan._coerce_direction(direction)
+    if not isinstance(plan, Plan):  # arbitrary-N chirp-Z plan
+        from . import bluestein as _bs
+
+        return _bs.transform_any(plan, x, d)
     _check_len(plan, x, d == BACKWARD)
     return _jitted(plan, d == BACKWARD, True, _dispatch.state_key())(x)
 
@@ -376,6 +380,10 @@ def transform_ordered_split(plan: Plan, x, direction=FORWARD):
     """
 
     d = _plan._coerce_direction(direction)
+    if not isinstance(plan, Plan):  # arbitrary-N chirp-Z plan
+        from . import bluestein as _bs
+
+        return _bs.transform_any_split(plan, x, d)
     backward = d == BACKWARD
     if plan.is_real and not backward:
         return _jitted_split(plan, False, True, _dispatch.state_key())(x)
