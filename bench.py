@@ -44,8 +44,41 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "ben
 SPEC_BW_V5E = 819e9
 
 
+def _backend_reachable(timeout_s: float = 240.0, attempts: int = 2) -> bool:
+    """Probe device availability in a subprocess.
+
+    When the axon tunnel is down, ``jax.devices()`` HANGS indefinitely
+    instead of erroring (CLAUDE.md); an unguarded bench would then hang
+    the driver's round-end run.  When the tunnel is up, devices() returns
+    in seconds — the generous timeout + retry makes a false negative
+    (recording an outage while the chip was actually fine) implausible.
+    """
+
+    import subprocess
+
+    for _ in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
+
+
 def main():
     quick = "--quick" in sys.argv
+
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "cfft_gflops", "value": 0.0, "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+            "error": "backend unreachable: jax.devices() timed out twice "
+                     "(axon tunnel outage — see CLAUDE.md); no measurement",
+        }))
+        return
 
     import jax
     import jax.numpy as jnp

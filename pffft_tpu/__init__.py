@@ -72,6 +72,11 @@ from .bluestein import (
     next_smooth_size,
     rfft_any,
     irfft_any,
+    CztPlan,
+    czt,
+    czt_split,
+    zoom_fft,
+    zoom_fft_setup,
 )
 
 __version__ = "0.2.0"
@@ -119,6 +124,11 @@ __all__ = [
     "next_smooth_size",
     "rfft_any",
     "irfft_any",
+    "CztPlan",
+    "czt",
+    "czt_split",
+    "zoom_fft",
+    "zoom_fft_setup",
     "cfft",
     "icfft",
     "rfft_packed",

@@ -46,6 +46,11 @@ __all__ = [
     "transform_any_split",
     "rfft_any",
     "irfft_any",
+    "CztPlan",
+    "czt",
+    "czt_split",
+    "zoom_fft",
+    "zoom_fft_setup",
 ]
 
 
@@ -250,3 +255,178 @@ def irfft_any(s, n: int, dtype="float32"):
 @functools.lru_cache(maxsize=64)
 def _bluestein_cached(n: int, dtype: str) -> BluesteinPlan:
     return BluesteinPlan(n, dtype)
+
+
+# --------------------------------------------------------------------------
+# General chirp-Z transform (CZT) and spectral zoom
+# --------------------------------------------------------------------------
+
+def _exact_phase_mod2(scale: float, idx: np.ndarray) -> np.ndarray:
+    """(scale * idx) mod 2, computed exactly.
+
+    ``scale`` (a float) is exactly the binary rational p/2^k, so the
+    product and the mod-2 reduction can be done in integer arithmetic —
+    no precision loss at large idx (float64 j^2 phases lose ~2^-13 of a
+    turn by j ~ 2^20, far above the f32 noise floor).
+    """
+
+    frac = float(scale).as_integer_ratio()
+    p, q = frac
+    two_q = 2 * q
+    out = np.empty(len(idx), dtype=np.float64)
+    for i, j in enumerate(idx):
+        out[i] = ((p * int(j)) % two_q) / q
+    return out
+
+
+def _chirp_planes(phase_turns: np.ndarray, dtype: np.dtype):
+    ang = math.pi * phase_turns  # phase_turns is in half-turn units mod 2
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+class CztPlan:
+    """Chirp-Z transform along the unit circle (Rabiner-Schafer-Rader).
+
+        X[k] = sum_j x[j] * A^{-j} * W^{jk},   k = 0..m-1
+
+    with W = e^{-2 pi i w_phase} and A = e^{+2 pi i a_phase} — the
+    unit-modulus CZT (scipy.signal.czt with |w| = |a| = 1; off-circle
+    chirps grow exponentially and have no TPU-sane use).  Defaults give
+    the ordinary DFT (w_phase = 1/n, a_phase = 0, m = n).
+
+    Implementation: Bluestein factorization jk = (j^2 + k^2 - (k-j)^2)/2
+    turns the sum into a linear convolution of length n+m-1, run as a
+    cyclic convolution of smooth length M on the split-format engine in
+    its internal layout (same composition as :class:`BluesteinPlan`).
+    Chirp phases w_phase * j^2 / 2 are reduced mod 2 in EXACT integer
+    arithmetic (a float w_phase is exactly p/2^k).
+    """
+
+    kind = _plan.COMPLEX
+
+    def __init__(self, n: int, m: int | None = None, *,
+                 w_phase: float | None = None, a_phase: float = 0.0,
+                 dtype="float32"):
+        self.n = int(n)
+        self.m_out = int(m) if m is not None else self.n
+        if self.n < 1 or self.m_out < 1:
+            raise ValueError("CZT needs n >= 1 and m >= 1")
+        if self.n * self.m_out > (1 << 44):
+            raise ValueError("CZT size cap exceeded")
+        self.w_phase = float(w_phase) if w_phase is not None else 1.0 / self.n
+        self.a_phase = float(a_phase)
+        self.dtype = np.dtype(dtype)
+        n_, m_ = self.n, self.m_out
+        self.m = next_smooth_size(n_ + m_ - 1)
+        self.inner = _plan.Plan.create(
+            self.m, _plan.COMPLEX, self.dtype, strict=False)
+
+        j = np.arange(max(n_, m_), dtype=object)
+        # chirp phase (w_phase/2) * j^2, exact mod 2
+        sq = _exact_phase_mod2(self.w_phase, [int(v) * int(v) for v in j])
+        # pre[j] = A^{-j} W^{j^2/2}: phase = -(a_phase*j) - (w/2) j^2 turns
+        lin = _exact_phase_mod2(2.0 * self.a_phase, [int(v) for v in j[:n_]])
+        pre_turns = (-lin - sq[:n_]) % 2.0
+        self._pre = tuple(map(jnp.asarray, _chirp_planes(pre_turns, self.dtype)))
+        # post[k] = W^{k^2/2}: phase = -(w/2) k^2 turns
+        post_turns = (-sq[:m_]) % 2.0
+        self._post = tuple(map(jnp.asarray, _chirp_planes(post_turns, self.dtype)))
+        # kernel v[d] = W^{-d^2/2} (phase +(w/2) d^2), d = -(n-1)..(m-1),
+        # laid out cyclically: V[d mod M]
+        vr = np.zeros(self.m, dtype=np.float64)
+        vi = np.zeros(self.m, dtype=np.float64)
+        kr, ki = _chirp_planes(sq, np.float64)
+        vr[:m_], vi[:m_] = kr[:m_], ki[:m_]
+        if n_ > 1:
+            vr[-(n_ - 1):] = kr[1:n_][::-1]
+            vi[-(n_ - 1):] = ki[1:n_][::-1]
+        self._vhat = _fft.transform_split(
+            self.inner,
+            (jnp.asarray(vr.astype(self.dtype)),
+             jnp.asarray(vi.astype(self.dtype))),
+            _plan.FORWARD)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (f"CztPlan(n={self.n}, m={self.m_out}, w={self.w_phase!r}, "
+                f"a={self.a_phase!r}, {self.dtype.name})")
+
+
+@functools.lru_cache(maxsize=256)
+def _jitted_czt(cplan: CztPlan, ekey=None):
+    n, m_out, m = cplan.n, cplan.m_out, cplan.m
+    inner = cplan.inner
+    inv_m = 1.0 / m
+
+    def fn(re, im, pr, pi, vr, vi, qr, qi):
+        ar, ai = _split.split_mul((re, im), (pr, pi))
+        pad = [(0, 0)] * (ar.ndim - 1) + [(0, m - n)]
+        ar = jnp.pad(ar, pad)
+        ai = jnp.pad(ai, pad)
+        sr, si = _fft.transform_split(inner, (ar, ai), _plan.FORWARD)
+        sr, si = _split.split_mul((sr, si), (vr, vi))
+        cr, ci = _fft.transform_split(inner, (sr, si), _plan.BACKWARD)
+        cr = cr[..., :m_out] * inv_m
+        ci = ci[..., :m_out] * inv_m
+        return _split.split_mul((cr, ci), (qr, qi))
+
+    return jax.jit(fn)
+
+
+def czt_split(cplan: CztPlan, x):
+    """Split-format CZT: (re, im) planes [..., n] -> (re, im) [..., m]."""
+
+    re, im = x
+    re = jnp.asarray(re, dtype=cplan.dtype.type)
+    im = jnp.asarray(im, dtype=cplan.dtype.type)
+    if re.shape[-1] != cplan.n:
+        raise ValueError(f"last axis must be n={cplan.n}, got {re.shape[-1]}")
+    pr, pi = cplan._pre
+    vr, vi = cplan._vhat
+    qr, qi = cplan._post
+    return _jitted_czt(cplan, _dispatch.state_key())(
+        re, im, pr, pi, vr, vi, qr, qi)
+
+
+def czt(cplan: CztPlan, x):
+    """Complex-dtype CZT convenience (CPU-side sugar)."""
+
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.complexfloating):
+        x = x.astype(cplan.dtype.type) + 0j
+    rr, ri = czt_split(cplan, (x.real, x.imag))
+    return rr + 1j * ri
+
+
+def zoom_fft_setup(n: int, fn, m: int | None = None, *, fs: float = 2.0,
+                   endpoint: bool = False, dtype="float32") -> CztPlan:
+    """Spectral-zoom plan (scipy.signal.zoom_fft conventions).
+
+    Evaluates the DTFT of an n-sample signal at m frequencies spanning
+    [f0, f1] (``fn`` scalar means [0, fn]) for sample rate ``fs``:
+    bin k sits at f0 + k*(f1-f0)/m (or /(m-1) with endpoint=True).
+    """
+
+    if np.ndim(fn) == 0:
+        f0, f1 = 0.0, float(fn)
+    else:
+        f0, f1 = (float(v) for v in fn)
+    m = int(m) if m is not None else int(n)
+    step = (f1 - f0) / (m - 1 if endpoint and m > 1 else m)
+    return CztPlan(n, m, w_phase=step / fs, a_phase=f0 / fs, dtype=dtype)
+
+
+def zoom_fft(x, fn, m: int | None = None, *, fs: float = 2.0,
+             endpoint: bool = False, dtype="float32"):
+    """One-shot spectral zoom of x along its last axis (complex out)."""
+
+    x = jnp.asarray(x)
+    cplan = _zoom_cached(int(x.shape[-1]),
+                         float(fn) if np.ndim(fn) == 0 else (float(fn[0]), float(fn[1])),
+                         None if m is None else int(m), float(fs),
+                         bool(endpoint), np.dtype(dtype).name)
+    return czt(cplan, x)
+
+
+@functools.lru_cache(maxsize=64)
+def _zoom_cached(n, fn, m, fs, endpoint, dtype) -> CztPlan:
+    return zoom_fft_setup(n, fn, m, fs=fs, endpoint=endpoint, dtype=dtype)

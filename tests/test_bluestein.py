@@ -127,3 +127,89 @@ def test_tone_detection_prime_n():
     rest = np.delete(spec, k)
     # float32 chirp-Z leakage floor (~120 dB below the carrier)
     assert rest.max() < spec[k] * 1e-5
+
+
+# --------------------------------------------------------------------------
+# General CZT / spectral zoom
+# --------------------------------------------------------------------------
+
+scipy_signal = pytest.importorskip("scipy.signal")
+
+
+def test_czt_default_is_dft():
+    n = 37
+    x = _rand_c((2, n)).astype(np.complex64)
+    p = bs.CztPlan(n)
+    got = np.asarray(bs.czt(p, jnp.asarray(x)))
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+
+
+def test_czt_general_vs_direct_sum_f64():
+    n, m = 53, 29
+    wp, ap = 0.013, 0.21
+    x = _rand_c((3, n))
+    p = bs.CztPlan(n, m, w_phase=wp, a_phase=ap, dtype="float64")
+    got = np.asarray(bs.czt(p, jnp.asarray(x)))
+    j, k = np.arange(n), np.arange(m)
+    mat = (np.exp(2j * np.pi * ap) ** (-j))[None, :] * (
+        np.exp(-2j * np.pi * wp) ** np.outer(k, j))
+    ref = x @ mat.T
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_czt_vs_scipy():
+    x = _rand_c(100)
+    wp, ap = 0.0061, -0.083
+    p = bs.CztPlan(100, 57, w_phase=wp, a_phase=ap, dtype="float64")
+    got = np.asarray(bs.czt(p, x))
+    ref = scipy_signal.czt(x, 57, w=np.exp(-2j * np.pi * wp),
+                           a=np.exp(2j * np.pi * ap))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
+@pytest.mark.parametrize("endpoint", [False, True])
+@pytest.mark.parametrize("fn", [0.31, (0.25, 0.40)])
+def test_zoom_fft_vs_scipy(fn, endpoint):
+    x = RNG.standard_normal(640)
+    got = np.asarray(pf.zoom_fft(x, fn, 333, fs=2.0, endpoint=endpoint,
+                                 dtype="float64"))
+    ref = scipy_signal.zoom_fft(x, list(fn) if isinstance(fn, tuple) else fn,
+                                333, fs=2.0, endpoint=endpoint)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_zoom_fft_resolves_close_tones():
+    """The zoom's use case: two tones ~2.5 coarse bins apart evaluated on
+    a 50x finer grid across a 1% band — distinct, sharply-located peaks
+    the coarse FFT grid straddles."""
+
+    n, fs = 512, 2.0
+    t = np.arange(n)
+    f1, f2 = 0.3010, 0.3110  # > Rayleigh limit fs/n = 0.0039
+    x = np.cos(2 * np.pi * f1 * t / fs) + np.cos(2 * np.pi * f2 * t / fs)
+    lo, hi, m = 0.295, 0.317, 256
+    spec = np.abs(np.asarray(pf.zoom_fft(x, (lo, hi), m, fs=fs,
+                                         dtype="float64")))
+    # count well-separated local maxima above half the global peak
+    peaks = [i for i in range(1, m - 1)
+             if spec[i] > spec[i - 1] and spec[i] > spec[i + 1]
+             and spec[i] > spec.max() * 0.5]
+    assert len(peaks) == 2
+    freqs = lo + np.array(peaks) * (hi - lo) / m
+    assert abs(freqs[0] - f1) < 2 * (hi - lo) / m
+    assert abs(freqs[1] - f2) < 2 * (hi - lo) / m
+
+
+def test_czt_exact_phase_helper():
+    # scale = 3/8 exactly; phases must be bit-exact rationals mod 2
+    ph = bs._exact_phase_mod2(0.375, [0, 1, 2, 7, 16, 10 ** 9 + 1])
+    assert ph.tolist() == [0.0, 0.375, 0.75, 0.625, 0.0, 0.375]
+
+
+def test_czt_error_paths():
+    with pytest.raises(ValueError):
+        bs.CztPlan(0)
+    p = bs.CztPlan(16, 8)
+    with pytest.raises(ValueError, match="last axis"):
+        bs.czt_split(p, (jnp.zeros((2, 15)), jnp.zeros((2, 15))))
