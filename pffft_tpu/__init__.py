@@ -66,6 +66,8 @@ from . import parallel
 from . import tune
 from .tune import tuned_setup
 from . import bluestein
+from . import nd
+from .nd import fftn_setup, fftn_split, fftn, ifftn, fft2, ifft2, rfftn, irfftn
 from .bluestein import (
     BluesteinPlan,
     new_setup_any,
@@ -119,6 +121,15 @@ __all__ = [
     "tune",
     "tuned_setup",
     "bluestein",
+    "nd",
+    "fftn_setup",
+    "fftn_split",
+    "fftn",
+    "ifftn",
+    "fft2",
+    "ifft2",
+    "rfftn",
+    "irfftn",
     "BluesteinPlan",
     "new_setup_any",
     "next_smooth_size",
