@@ -101,6 +101,37 @@ def main() -> None:
     rso = np.asarray(resample.resample(jnp.asarray(stream[:3000]), 3, 2))
     check("resampler shapes", 0.0 if rso.shape[-1] == 4500 else 1.0, 0.5)
 
+    # arbitrary-N (Bluestein) planar path
+    npn = 499  # prime
+    bp = pf.BluesteinPlan(npn)
+    xr = rng.standard_normal((4, npn)).astype(np.float32)
+    xi = rng.standard_normal((4, npn)).astype(np.float32)
+    brr, bri = pf.bluestein.transform_any_split(
+        bp, (jnp.asarray(xr), jnp.asarray(xi)))
+    refb = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    gotb = np.asarray(brr) + 1j * np.asarray(bri)
+    check("bluestein prime-N 499", np.abs(gotb - refb).max() / np.abs(refb).max(), 1e-4)
+
+    # spectral zoom (CZT) planar path
+    zp = pf.zoom_fft_setup(1024, (0.2, 0.3), 128)
+    zr, zi = pf.czt_split(zp, (jnp.asarray(stream[:1024]),
+                               jnp.zeros(1024, jnp.float32)))
+    k = np.arange(128)
+    f = (0.2 + k * (0.1 / 128)) / 2.0  # (f0 + k*step)/fs, fs=2
+    refz = (stream[:1024].astype(np.float64)
+            @ np.exp(-2j * np.pi * np.outer(np.arange(1024), f)))
+    gotz = np.asarray(zr) + 1j * np.asarray(zi)
+    check("zoom czt 1024->128", np.abs(gotz - refz).max() / np.abs(refz).max(), 1e-4)
+
+    # 2-D planar transform
+    ndp = pf.fftn_setup((48, 96))
+    x2r = rng.standard_normal((48, 96)).astype(np.float32)
+    x2i = rng.standard_normal((48, 96)).astype(np.float32)
+    nr, ni = pf.fftn_split(ndp, (jnp.asarray(x2r), jnp.asarray(x2i)))
+    ref2 = np.fft.fft2(x2r.astype(np.float64) + 1j * x2i.astype(np.float64))
+    got2 = np.asarray(nr) + 1j * np.asarray(ni)
+    check("fft2 planar 48x96", np.abs(got2 - ref2).max() / np.abs(ref2).max(), 1e-4)
+
     print(f"\nall {ok} TPU smoke checks passed")
 
 
