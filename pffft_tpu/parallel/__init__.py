@@ -17,6 +17,7 @@ processes.  On a single device everything degrades to the local engine.
 from .mesh import make_mesh, batch_sharding, shard_batch
 from .fourstep import fourstep_cfft, fourstep_icfft, fourstep_rfft, fourstep_irfft, FourStepPlan
 from .stream import sharded_fastconv_valid, halo_exchange_right
+from .pencil import Pencil2D
 
 __all__ = [
     "make_mesh",
@@ -29,4 +30,5 @@ __all__ = [
     "fourstep_irfft",
     "sharded_fastconv_valid",
     "halo_exchange_right",
+    "Pencil2D",
 ]

@@ -203,3 +203,77 @@ def test_batch_sharding_dp(mesh):
     got = np.asarray(pf.transform_ordered(plan, xd, pf.FORWARD))
     ref = np.asarray(pf.transform_ordered(plan, jnp.asarray(x), pf.FORWARD))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Pencil-decomposed distributed 2-D FFT
+# --------------------------------------------------------------------------
+
+def _pencil_input(mesh, shape, seed=11):
+    rng = _rng(seed)
+    x = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    ax = mesh.axis_names[0]
+    spec = jax.sharding.PartitionSpec(
+        *([None] * (len(shape) - 2)), ax, None)
+    xd = jax.device_put(jnp.asarray(x),
+                        jax.sharding.NamedSharding(mesh, spec))
+    return x, xd
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (32, 32)])
+def test_pencil2d_matches_numpy(mesh, shape):
+    p = pfp.Pencil2D(shape, mesh)
+    x, xd = _pencil_input(mesh, (2,) + shape)
+    got = np.asarray(p.forward(xd))
+    ref = np.fft.fft2(x)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-6
+
+
+def test_pencil2d_roundtrip_unscaled(mesh):
+    p = pfp.Pencil2D((48, 64), mesh)
+    x, xd = _pencil_input(mesh, (48, 64))
+    back = np.asarray(p.backward(p.forward(xd))) / (48 * 64)
+    assert np.abs(back - x).max() < 3e-6 * max(1.0, np.abs(x).max())
+
+
+def test_pencil2d_transposed_layout(mesh):
+    """transposed=True skips the final collective; backward accepts it."""
+
+    p = pfp.Pencil2D((64, 96), mesh)
+    x, xd = _pencil_input(mesh, (64, 96))
+    st = p.forward(xd, transposed=True)
+    assert st.shape == (96, 64)
+    ref = np.fft.fft2(x).swapaxes(-1, -2)
+    assert np.abs(np.asarray(st) - ref).max() / np.abs(ref).max() < 3e-6
+    back = np.asarray(p.backward(st, transposed=True)) / (64 * 96)
+    assert np.abs(back - x).max() < 3e-6 * max(1.0, np.abs(x).max())
+
+
+def test_pencil2d_collective_count(mesh):
+    """Full-layout forward uses all-to-all transposes and no gathers."""
+
+    p = pfp.Pencil2D((64, 64), mesh)
+    _, xd = _pencil_input(mesh, (64, 64))
+    txt = p._map(False, False, 2).lower(xd).compile().as_text()
+    assert "all-to-all" in txt
+    for op in (" gather(", " scatter("):
+        assert op not in txt
+
+
+def test_pencil2d_matches_local_nd(mesh):
+    """Sharded result == the local nd module's fft2 on the gathered data."""
+
+    p = pfp.Pencil2D((32, 48), mesh)
+    x, xd = _pencil_input(mesh, (32, 48))
+    got = np.asarray(p.forward(xd))
+    local = np.asarray(pf.fft2(x))
+    assert np.abs(got - local).max() / max(1.0, np.abs(local).max()) < 3e-6
+
+
+def test_pencil2d_errors(mesh):
+    with pytest.raises(ValueError, match="divisible"):
+        pfp.Pencil2D((60, 64), mesh)  # 60 % 8 != 0
+    p = pfp.Pencil2D((32, 32), mesh)
+    with pytest.raises(ValueError, match="trailing axes"):
+        p.forward(jnp.zeros((16, 32), jnp.complex64))
