@@ -214,17 +214,31 @@ def new_setup_any(n: int, kind=_plan.COMPLEX, dtype="float32", **kw):
         return BluesteinPlan(n, dtype, **kw)
 
 
+def _real_plan_or_none(n: int, dtype: str):
+    """Smooth-even-N packed REAL plan, or None (then Bluestein it is)."""
+
+    try:
+        return _plan.Plan.create(n, _plan.REAL, dtype, strict=False)
+    except ValueError:
+        return None
+
+
 def rfft_any(x, dtype="float32"):
     """Forward real transform of ANY length: [..., N] real ->
     [..., N//2 + 1] complex bins (scipy rfft convention, unscaled).
 
-    Convenience built on the complex Bluestein path; for smooth even N
-    the packed-format Plan(REAL) engine is the fast path.
+    Smooth even N rides the half-length packed REAL engine (one
+    N/2-point transform); everything else the complex Bluestein path.
     """
 
     x = jnp.asarray(x)
-    n = x.shape[-1]
-    bplan = _bluestein_cached(n, np.dtype(dtype).name)
+    n = int(x.shape[-1])
+    dtype = np.dtype(dtype).name
+    p = _real_plan_or_none(n, dtype)
+    if p is not None:
+        s = _fft.transform_ordered(p, x.astype(p.dtype.type), _plan.FORWARD)
+        return _fft.spectrum_unpack(s)
+    bplan = _bluestein_cached(n, dtype)
     zr = x.astype(bplan.dtype.type)
     rr, ri = transform_any_split(bplan, (zr, jnp.zeros_like(zr)),
                                  _plan.FORWARD)
@@ -241,7 +255,12 @@ def irfft_any(s, n: int, dtype="float32"):
     h = n // 2 + 1
     if s.shape[-1] != h:
         raise ValueError(f"expected {h} bins for N={n}, got {s.shape[-1]}")
-    bplan = _bluestein_cached(n, np.dtype(dtype).name)
+    dtype = np.dtype(dtype).name
+    p = _real_plan_or_none(n, dtype)
+    if p is not None:
+        return _fft.transform_ordered(p, _fft.spectrum_pack(s.astype(p.cdtype.type)),
+                                      _plan.BACKWARD)
+    bplan = _bluestein_cached(n, dtype)
     # rebuild the full Hermitian spectrum: X[n-k] = conj(X[k]), k=1..n-h
     sr = s.real.astype(bplan.dtype.type)
     si = s.imag.astype(bplan.dtype.type)

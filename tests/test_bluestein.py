@@ -83,8 +83,10 @@ def test_next_smooth_size():
         pf.Plan.create(m, pf.COMPLEX, strict=False)  # smooth by construction
 
 
-@pytest.mark.parametrize("n", [8, 9, 34, 101, 240])
+@pytest.mark.parametrize("n", [8, 9, 34, 101, 240, 96, 4096])
 def test_rfft_any_matches_numpy(n):
+    # 8/96/240/4096: smooth even -> packed REAL engine fast path;
+    # 9/34/101: chirp-Z path
     x = RNG.standard_normal((3, n))
     got = np.asarray(pf.rfft_any(x))
     ref = np.fft.rfft(x, axis=-1)
@@ -92,7 +94,7 @@ def test_rfft_any_matches_numpy(n):
     assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
 
 
-@pytest.mark.parametrize("n", [10, 33, 101])
+@pytest.mark.parametrize("n", [10, 33, 101, 96])
 def test_irfft_roundtrip(n):
     x = RNG.standard_normal((2, n)).astype(np.float32)
     y = np.asarray(pf.irfft_any(pf.rfft_any(x), n)) / n
