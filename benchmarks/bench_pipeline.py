@@ -214,6 +214,73 @@ def main():
              msamp_s_best=round(tot / tb / 1e6, 1), sol=sol,
              bw_artifact=sol > 1)
 
+    # --- spectral zoom (CZT): Msamples/s in (bluestein.py; beyond-parity)
+    if want("zoom"):
+        n_z, m_z = 4096, 512
+        bz = 1024 if args.quick else (64 << 20) // (4 * n_z)
+        zp = pf.zoom_fft_setup(n_z, (0.2, 0.3), m_z)
+        zre = jnp.asarray(rng.standard_normal((bz, n_z)).astype(np.float32))
+        zim = jnp.asarray(rng.standard_normal((bz, n_z)).astype(np.float32))
+
+        def zoom_step(r, i):
+            zr, zi = pf.czt_split(zp, (r, i))
+            s = (jnp.sum(zr * zr + zi * zi) * np.float32(1e-12)).astype(r.dtype)
+            return r + s, i
+
+        t, tb = best_of(zoom_step, (zre, zim))
+        tot = bz * n_z
+        # min-traffic model: read 2 input planes + write 2 m-bin planes
+        z_bytes = tot * 4 * 2 * (1 + m_z / n_z)
+        sol = round((z_bytes / bw) / t, 3)
+        emit(bench="zoom_czt", n=n_z, m=m_z, samples=tot,
+             msamp_s=round(tot / t / 1e6, 1),
+             msamp_s_best=round(tot / tb / 1e6, 1), sol=sol,
+             bw_artifact=sol > 1)
+
+    # --- prime-N Bluestein transform: GFLOP/s (fftw convention at N)
+    if want("bluestein"):
+        n_b = 4099  # prime
+        bb = 256 if args.quick else (64 << 20) // (4 * n_b)
+        bp = pf.BluesteinPlan(n_b)
+        bre = jnp.asarray(rng.standard_normal((bb, n_b)).astype(np.float32))
+        bim = jnp.asarray(rng.standard_normal((bb, n_b)).astype(np.float32))
+
+        def blu_step(r, i):
+            zr, zi = pf.bluestein.transform_any_split(bp, (r, i))
+            s = (jnp.sum(zr * zr + zi * zi) * np.float32(1e-12)).astype(r.dtype)
+            return r + s, i
+
+        t, tb = best_of(blu_step, (bre, bim))
+        flops = 5.0 * bb * n_b * np.log2(n_b)
+        b_bytes = bb * n_b * 4 * 4  # read 2 planes + write 2 planes
+        sol = round((b_bytes / bw) / t, 3)
+        emit(bench="bluestein_prime", n=n_b, batch=bb,
+             gflops=round(flops / t / 1e9, 1),
+             gflops_best=round(flops / tb / 1e9, 1), sol=sol,
+             bw_artifact=sol > 1)
+
+    # --- 2-D transform: GFLOP/s (nd.py; row+col 1-D engine composition)
+    if want("fft2"):
+        n0, n1 = 512, 512
+        b2 = 4 if args.quick else (64 << 20) // (4 * n0 * n1)
+        ndp = pf.fftn_setup((n0, n1))
+        f2r = jnp.asarray(rng.standard_normal((b2, n0, n1)).astype(np.float32))
+        f2i = jnp.asarray(rng.standard_normal((b2, n0, n1)).astype(np.float32))
+
+        def fft2_step(r, i):
+            zr, zi = pf.fftn_split(ndp, (r, i))
+            s = (jnp.sum(zr * zr + zi * zi) * np.float32(1e-12)).astype(r.dtype)
+            return r + s, i
+
+        t, tb = best_of(fft2_step, (f2r, f2i))
+        flops = 5.0 * b2 * n0 * n1 * np.log2(n0 * n1)
+        f_bytes = b2 * n0 * n1 * 4 * 4
+        sol = round((f_bytes / bw) / t, 3)
+        emit(bench="fft2", shape=f"{n0}x{n1}", batch=b2,
+             gflops=round(flops / t / 1e9, 1),
+             gflops_best=round(flops / tb / 1e9, 1), sol=sol,
+             bw_artifact=sol > 1)
+
     if args.csv:
         import csv
 
