@@ -21,13 +21,87 @@ import numpy as np
 from . import plan as _plan
 from . import fft as _fft
 
-__all__ = ["frame_signal", "stft_split", "stft", "istft", "spectrogram", "welch_psd", "hann"]
+__all__ = ["frame_signal", "stft_split", "stft", "istft", "spectrogram",
+           "welch_psd", "hann", "hamming", "blackman", "blackmanharris",
+           "flattop", "kaiser", "get_window"]
+
+
+def _cosine_window(n: int, coefs, dtype) -> np.ndarray:
+    """Periodic generalized-cosine window sum_k a_k cos(2 pi k t / n)
+    (the scipy.signal.windows family with sym=False)."""
+
+    t = 2.0 * np.pi * np.arange(n) / n
+    w = np.zeros(n, dtype=np.float64)
+    for k, a in enumerate(coefs):
+        w += a * np.cos(k * t) * (-1.0 if k % 2 else 1.0)
+    return w.astype(dtype)
 
 
 def hann(n: int, dtype=np.float32) -> np.ndarray:
     """Periodic Hann window (COLA at hop n/2, n/4, ...)."""
 
-    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(dtype)
+    return _cosine_window(n, (0.5, 0.5), dtype)
+
+
+def hamming(n: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hamming window (classic 0.54/0.46, scipy convention)."""
+
+    return _cosine_window(n, (0.54, 0.46), dtype)
+
+
+def blackman(n: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Blackman window (a = 0.16 classic)."""
+
+    return _cosine_window(n, (0.42, 0.5, 0.08), dtype)
+
+
+def blackmanharris(n: int, dtype=np.float32) -> np.ndarray:
+    """Periodic 4-term Blackman-Harris (-92 dB sidelobes)."""
+
+    return _cosine_window(n, (0.35875, 0.48829, 0.14128, 0.01168), dtype)
+
+
+def flattop(n: int, dtype=np.float32) -> np.ndarray:
+    """Periodic flat-top window (amplitude-accurate tone measurement;
+    scipy coefficient set)."""
+
+    return _cosine_window(
+        n, (0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368),
+        dtype)
+
+
+def kaiser(n: int, beta: float = 8.6, dtype=np.float32) -> np.ndarray:
+    """Periodic Kaiser window (I0 form, numpy's i0)."""
+
+    t = np.arange(n, dtype=np.float64) / n  # periodic: denominator n
+    w = np.i0(beta * np.sqrt(np.clip(1.0 - (2.0 * t - 1.0) ** 2, 0.0, None)))
+    return (w / np.i0(beta)).astype(dtype)
+
+
+_WINDOWS = {
+    "hann": hann, "hamming": hamming, "blackman": blackman,
+    "blackmanharris": blackmanharris, "flattop": flattop,
+    "kaiser": kaiser, "boxcar": lambda n, dtype=np.float32: np.ones(n, dtype),
+    "rect": lambda n, dtype=np.float32: np.ones(n, dtype),
+}
+
+
+def get_window(name: str, n: int, dtype=np.float32) -> np.ndarray:
+    """Window by name (all periodic / DFT-even, scipy sym=False).
+
+    Accepts ``(name, param)`` tuples for parameterized windows
+    (currently ``("kaiser", beta)``)."""
+
+    if isinstance(name, tuple):
+        base, param = name
+        if base != "kaiser":
+            raise ValueError(f"unknown parameterized window {base!r}")
+        return kaiser(n, float(param), dtype)
+    try:
+        return _WINDOWS[name](n, dtype=dtype)
+    except KeyError:
+        raise ValueError(
+            f"unknown window {name!r}; available: {sorted(_WINDOWS)}") from None
 
 
 def frame_signal(x: jax.Array, frame_len: int, hop: int) -> jax.Array:

@@ -71,3 +71,42 @@ def test_welch_detects_tone_over_noise():
     x = (0.1 * _rng(4).standard_normal(t.size) + np.sin(2 * np.pi * 100 * t / n_fft)).astype(np.float32)
     psd = np.asarray(sp.welch_psd(jnp.asarray(x), n_fft))
     assert psd.argmax() == 100
+
+
+# --------------------------------------------------------------------------
+# Window family (scipy.signal.windows parity, periodic / sym=False)
+# --------------------------------------------------------------------------
+
+def test_windows_match_scipy():
+    sw = pytest.importorskip("scipy.signal.windows")
+    n = 256
+    cases = {
+        "hann": sw.hann, "hamming": sw.hamming, "blackman": sw.blackman,
+        "blackmanharris": sw.blackmanharris, "flattop": sw.flattop,
+    }
+    for name, fn in cases.items():
+        got = sp.get_window(name, n, np.float64)
+        ref = fn(n, sym=False)
+        assert np.abs(got - ref).max() < 1e-12, name
+    got = sp.get_window(("kaiser", 8.6), n, np.float64)
+    assert np.abs(got - sw.kaiser(n, 8.6, sym=False)).max() < 1e-12
+
+
+def test_get_window_errors_and_boxcar():
+    assert (sp.get_window("boxcar", 8) == 1.0).all()
+    with pytest.raises(ValueError, match="unknown window"):
+        sp.get_window("nope", 16)
+    with pytest.raises(ValueError, match="parameterized"):
+        sp.get_window(("tukey", 0.5), 16)
+
+
+def test_stft_accepts_named_windows():
+    x = np.random.default_rng(0).standard_normal(4096).astype(np.float32)
+    w = sp.get_window("blackmanharris", 512)
+    s = np.asarray(sp.stft(jnp.asarray(x), 512, 128, window=w))
+    # compare one frame against a direct windowed rfft (packed layout)
+    frame = x[:512] * w
+    full = np.fft.rfft(frame.astype(np.float64))
+    packed = full[:-1].copy()
+    packed[0] = full[0].real + 1j * full[-1].real
+    assert np.abs(s[0] - packed).max() / np.abs(full).max() < 1e-5
