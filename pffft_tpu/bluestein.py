@@ -211,7 +211,11 @@ def new_setup_any(n: int, kind=_plan.COMPLEX, dtype="float32", **kw):
             raise ValueError(
                 f"N={n} is not 2/3/5-smooth-even; arbitrary-N real input "
                 f"goes through rfft_any / irfft_any (Bluestein)")
-        return BluesteinPlan(n, dtype, **kw)
+        if kw:  # custom inner length etc. bypasses the cache
+            return BluesteinPlan(n, dtype, **kw)
+        # cached: repeated setup of the same (n, dtype) must reuse the
+        # chirp tables, the kernel spectrum, and the jitted pipeline
+        return _bluestein_cached(int(n), np.dtype(dtype).name)
 
 
 def _real_plan_or_none(n: int, dtype: str):

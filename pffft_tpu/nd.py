@@ -48,9 +48,11 @@ class NdPlan:
         if any(s < 2 for s in self.shape):
             raise ValueError(f"every transformed extent must be >= 2: {self.shape}")
         self.dtype = np.dtype(dtype)
-        cache: dict = {}
+        # new_setup_any caches BluesteinPlans per (n, dtype) and Plan.create
+        # caches smooth plans, so repeated NdPlan construction (the fftn
+        # convenience path) reuses tables and jitted pipelines
         self.plans = tuple(
-            cache.setdefault(s, _bs.new_setup_any(s, _plan.COMPLEX, self.dtype.name))
+            _bs.new_setup_any(s, _plan.COMPLEX, self.dtype.name)
             for s in self.shape
         )
 
