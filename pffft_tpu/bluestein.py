@@ -77,7 +77,9 @@ def _chirp_tables(n: int, m: int, dtype: np.dtype):
     """
 
     two_n = 2 * n
-    ph = np.array([(j * j) % two_n for j in range(n)], dtype=np.float64)
+    # exact in int64: j^2 <= (2^25)^2 = 2^50 < 2^63 under the N cap
+    j = np.arange(n, dtype=np.int64)
+    ph = ((j * j) % two_n).astype(np.float64)
     ph *= math.pi / n
     c_re = np.cos(ph)
     c_im = -np.sin(ph)
@@ -194,28 +196,33 @@ def transform_any(bplan: BluesteinPlan, x, direction=_plan.FORWARD):
     return rr + 1j * ri
 
 
-def new_setup_any(n: int, kind=_plan.COMPLEX, dtype="float32", **kw):
+def new_setup_any(n: int, kind=_plan.COMPLEX, dtype="float32", *,
+                  m: int | None = None, **plan_kw):
     """new_setup for ANY length: a smooth (strict=False) Plan when the
     engine supports N directly, a :class:`BluesteinPlan` otherwise.
 
     Both returned types work with transform_ordered /
     transform_ordered_split.  REAL kind requires a smooth even N (use
-    :func:`rfft_any` for arbitrary-length real input).
+    :func:`rfft_any` for arbitrary-length real input).  ``m`` forces the
+    Bluestein path with that smooth inner length; other keywords
+    (max_factor, factors) apply to the smooth-plan path only.
     """
 
     kind = _plan._coerce_kind(kind)
-    try:
-        return _plan.Plan.create(n, kind, dtype, strict=False, **kw)
-    except ValueError:
-        if kind == _plan.REAL:
-            raise ValueError(
-                f"N={n} is not 2/3/5-smooth-even; arbitrary-N real input "
-                f"goes through rfft_any / irfft_any (Bluestein)")
-        if kw:  # custom inner length etc. bypasses the cache
-            return BluesteinPlan(n, dtype, **kw)
-        # cached: repeated setup of the same (n, dtype) must reuse the
-        # chirp tables, the kernel spectrum, and the jitted pipeline
-        return _bluestein_cached(int(n), np.dtype(dtype).name)
+    if m is None:
+        try:
+            return _plan.Plan.create(n, kind, dtype, strict=False, **plan_kw)
+        except ValueError:
+            pass
+    if kind == _plan.REAL:
+        raise ValueError(
+            f"N={n} is not 2/3/5-smooth-even; arbitrary-N real input "
+            f"goes through rfft_any / irfft_any (Bluestein)")
+    if m is not None:
+        return BluesteinPlan(n, dtype, m=m)
+    # cached: repeated setup of the same (n, dtype) must reuse the
+    # chirp tables, the kernel spectrum, and the jitted pipeline
+    return _bluestein_cached(int(n), np.dtype(dtype).name)
 
 
 def _real_plan_or_none(n: int, dtype: str):
@@ -238,6 +245,8 @@ def rfft_any(x, dtype="float32"):
     x = jnp.asarray(x)
     n = int(x.shape[-1])
     dtype = np.dtype(dtype).name
+    if n == 1:  # degenerate length (np.fft.rfft parity): X[0] = x[0]
+        return x.astype(np.complex128 if dtype == "float64" else np.complex64)
     p = _real_plan_or_none(n, dtype)
     if p is not None:
         s = _fft.transform_ordered(p, x.astype(p.dtype.type), _plan.FORWARD)
@@ -260,6 +269,8 @@ def irfft_any(s, n: int, dtype="float32"):
     if s.shape[-1] != h:
         raise ValueError(f"expected {h} bins for N={n}, got {s.shape[-1]}")
     dtype = np.dtype(dtype).name
+    if n == 1:  # unscaled inverse of the degenerate forward
+        return s.real.astype(dtype)
     p = _real_plan_or_none(n, dtype)
     if p is not None:
         return _fft.transform_ordered(p, _fft.spectrum_pack(s.astype(p.cdtype.type)),

@@ -143,10 +143,15 @@ def transform_ordered(plan: Plan, x: jax.Array, direction=FORWARD) -> jax.Array:
     """
 
     d = _plan._coerce_direction(direction)
-    if not isinstance(plan, Plan):  # arbitrary-N chirp-Z plan
+    if not isinstance(plan, Plan):
         from . import bluestein as _bs
 
-        return _bs.transform_any(plan, x, d)
+        if isinstance(plan, _bs.BluesteinPlan):  # arbitrary-N chirp-Z plan
+            return _bs.transform_any(plan, x, d)
+        raise TypeError(
+            f"unsupported plan type {type(plan).__name__} for "
+            f"transform_ordered (CztPlan goes through czt/czt_split; "
+            f"FourStepPlan through its forward/backward methods)")
     _check_len(plan, x, d == BACKWARD)
     return _jitted(plan, d == BACKWARD, True, _dispatch.state_key())(x)
 
@@ -380,10 +385,14 @@ def transform_ordered_split(plan: Plan, x, direction=FORWARD):
     """
 
     d = _plan._coerce_direction(direction)
-    if not isinstance(plan, Plan):  # arbitrary-N chirp-Z plan
+    if not isinstance(plan, Plan):
         from . import bluestein as _bs
 
-        return _bs.transform_any_split(plan, x, d)
+        if isinstance(plan, _bs.BluesteinPlan):  # arbitrary-N chirp-Z plan
+            return _bs.transform_any_split(plan, x, d)
+        raise TypeError(
+            f"unsupported plan type {type(plan).__name__} for "
+            f"transform_ordered_split (CztPlan goes through czt_split)")
     backward = d == BACKWARD
     if plan.is_real and not backward:
         return _jitted_split(plan, False, True, _dispatch.state_key())(x)

@@ -138,6 +138,7 @@ class FourStepPlan:
         self.plan1 = _plan.Plan.create(self.n1, _plan.COMPLEX, dtype, strict=False, max_factor=max_factor)
         self.plan2 = _plan.Plan.create(self.n2, _plan.COMPLEX, dtype, strict=False, max_factor=max_factor)
         self.cdtype = self.plan1.cdtype
+        self._jit_cache: dict = {}
         # twiddle enters sharded over n2 (the layout of the phase that uses it)
         self._tw_dev = jax.device_put(
             _twiddle_np(self.n1, self.n2, self.cdtype),
@@ -238,7 +239,6 @@ class FourStepPlan:
         o = jnp.conj(rtwl) * (xa - xbc)
         return e + 1j * o
 
-    @functools.lru_cache(maxsize=64)
     def _real_post_map(self, backward: bool, ndim: int):
         data_spec = P(*([None] * (ndim - 1)), self.axis)
         core = self._real_pre_bwd_core if backward else self._real_post_fwd_core
@@ -266,7 +266,6 @@ class FourStepPlan:
         return self._sconstrain(out.astype(self.dtype.type))
 
     # --- shard_map wrappers ----------------------------------------------
-    @functools.lru_cache(maxsize=64)
     def _c_map(self, backward: bool, ordered: bool, ndim: int):
         ax = self.axis
         data_spec = P(*([None] * (ndim - 1)), ax)
@@ -281,15 +280,26 @@ class FourStepPlan:
         )
         return fn
 
-    @functools.lru_cache(maxsize=64)
     def _jitted(self, backward: bool, ordered: bool, ndim: int):
+        # per-instance executable cache (an lru_cache on the bound method
+        # would pin self process-wide), keyed on dispatch.state_key():
+        # the split engine traced inside bakes cmul/engine/spec2 globals
+        # in at trace time (trace-time-globals rule, CLAUDE.md)
+        from ..ops import dispatch as _dispatch
+
+        key = (backward, ordered, ndim, _dispatch.state_key())
+        cached = self._jit_cache.get(key)
+        if cached is not None:
+            return cached
         if self.kind == _plan.REAL:
             fn = self._real_bwd if backward else self._real_fwd
             jfn = jax.jit(fn)
-            return lambda x: jfn(x, self._tw_dev, self._real_tw_dev)
-        cmap = self._c_map(backward, ordered, ndim)
-        jfn = jax.jit(cmap)
-        return lambda x: jfn(x, self._tw_dev)
+            out = lambda x: jfn(x, self._tw_dev, self._real_tw_dev)
+        else:
+            jfn = jax.jit(self._c_map(backward, ordered, ndim))
+            out = lambda x: jfn(x, self._tw_dev)
+        self._jit_cache[key] = out
+        return out
 
     # --- public ----------------------------------------------------------
     def forward(self, x: jax.Array, ordered: bool = True) -> jax.Array:

@@ -26,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import plan as _plan
+from ..ops import dispatch as _dispatch
 from .fourstep import _fft_axis, shard_map
 
 __all__ = ["Pencil2D"]
@@ -63,6 +64,7 @@ class Pencil2D:
         self.plan0 = _plan.Plan.create(self.n0, _plan.COMPLEX, dtype, strict=False)
         self.plan1 = _plan.Plan.create(self.n1, _plan.COMPLEX, dtype, strict=False)
         self.cdtype = self.plan0.cdtype
+        self._map_cache: dict = {}
 
     # --- shard-local cores (xl is one shard) ------------------------------
     def _a2a(self, x, split: int, concat: int):
@@ -88,15 +90,22 @@ class Pencil2D:
         return _fft_axis(y, self.plan1, True, -1)
 
     # --- shard_map wrappers -----------------------------------------------
-    @functools.lru_cache(maxsize=64)
     def _map(self, backward: bool, transposed: bool, ndim: int):
-        spec = P(*([None] * (ndim - 2)), self.axis, None)
-        core = self._bwd_core if backward else self._fwd_core
-        fn = shard_map(
-            functools.partial(core, transposed=transposed),
-            mesh=self.mesh, in_specs=(spec,), out_specs=spec,
-            check_vma=False)
-        return jax.jit(fn)
+        # per-instance cache (a class-level lru_cache would pin self for
+        # process lifetime) keyed on dispatch.state_key(): the engine
+        # traced inside bakes in cmul/engine/spec2 globals at trace time
+        # (the repo's trace-time-globals rule, CLAUDE.md)
+        key = (backward, transposed, ndim, _dispatch.state_key())
+        fn = self._map_cache.get(key)
+        if fn is None:
+            spec = P(*([None] * (ndim - 2)), self.axis, None)
+            core = self._bwd_core if backward else self._fwd_core
+            fn = jax.jit(shard_map(
+                functools.partial(core, transposed=transposed),
+                mesh=self.mesh, in_specs=(spec,), out_specs=spec,
+                check_vma=False))
+            self._map_cache[key] = fn
+        return fn
 
     def _check(self, x, transposed_in: bool) -> jax.Array:
         want = (self.n1, self.n0) if transposed_in else (self.n0, self.n1)

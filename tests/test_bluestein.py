@@ -215,3 +215,30 @@ def test_czt_error_paths():
     p = bs.CztPlan(16, 8)
     with pytest.raises(ValueError, match="last axis"):
         bs.czt_split(p, (jnp.zeros((2, 15)), jnp.zeros((2, 15))))
+
+
+def test_new_setup_any_caching_and_custom_m():
+    a = pf.new_setup_any(101)
+    assert a is pf.new_setup_any(101)  # cached instance
+    b = pf.new_setup_any(101, m=540)   # custom inner length, fresh plan
+    assert isinstance(b, bs.BluesteinPlan) and b.m == 540 and b is not a
+    x = _rand_c((2, 101)).astype(np.complex64)
+    ga = np.asarray(pf.transform_ordered(a, jnp.asarray(x)))
+    gb = np.asarray(pf.transform_ordered(b, jnp.asarray(x)))
+    assert np.abs(ga - gb).max() / np.abs(ga).max() < 1e-5
+
+
+def test_transform_ordered_rejects_foreign_plan_types():
+    with pytest.raises(TypeError, match="CztPlan"):
+        pf.transform_ordered(bs.CztPlan(8), jnp.ones(8, jnp.complex64))
+    with pytest.raises(TypeError, match="unsupported plan type"):
+        pf.transform_ordered_split(
+            bs.CztPlan(8), (jnp.ones(8), jnp.zeros(8)))
+
+
+def test_rfft_any_length_one():
+    x = np.array([[3.0], [2.5]], np.float32)
+    g = np.asarray(pf.rfft_any(x))
+    assert g.shape == (2, 1) and np.abs(g - x).max() == 0
+    y = np.asarray(pf.irfft_any(g, 1))
+    assert np.abs(y - x).max() == 0

@@ -277,3 +277,21 @@ def test_pencil2d_errors(mesh):
     p = pfp.Pencil2D((32, 32), mesh)
     with pytest.raises(ValueError, match="trailing axes"):
         p.forward(jnp.zeros((16, 32), jnp.complex64))
+
+
+def test_pencil2d_jit_cache_keys_on_dispatch_state(mesh):
+    """Trace-time-globals rule: flipping the cmul mode must produce a new
+    executable, not reuse one traced under the old mode."""
+
+    from pffft_tpu.ops import split as osplit
+
+    p = pfp.Pencil2D((32, 32), mesh)
+    _, xd = _pencil_input(mesh, (32, 32))
+    p.forward(xd)
+    n1 = len(p._map_cache)
+    try:
+        osplit.set_cmul_mode("gauss")  # non-default on CPU (default: 4mul)
+        p.forward(xd)
+    finally:
+        osplit.set_cmul_mode(None)
+    assert len(p._map_cache) == n1 + 1
