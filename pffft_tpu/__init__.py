@@ -66,6 +66,8 @@ from . import parallel
 from . import tune
 from .tune import tuned_setup
 from . import bluestein
+from . import pconv
+from .pconv import PartitionedConv
 from . import nd
 from .nd import fftn_setup, fftn_split, fftn, ifftn, fft2, ifft2, rfftn, irfftn
 from .bluestein import (
@@ -121,6 +123,8 @@ __all__ = [
     "tune",
     "tuned_setup",
     "bluestein",
+    "pconv",
+    "PartitionedConv",
     "nd",
     "fftn_setup",
     "fftn_split",
