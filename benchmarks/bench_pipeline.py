@@ -214,6 +214,35 @@ def main():
              msamp_s_best=round(tot / tb / 1e6, 1), sol=sol,
              bw_artifact=sol > 1)
 
+    # --- partitioned convolution: Msamples/s at reverb-scale filter length
+    if want("pconv"):
+        from pffft_tpu.pconv import PartitionedConv
+
+        taps, blk = 48000, 512
+        ch = 2 if args.quick else 8
+        blocks = 64 if args.quick else 256
+        hpc = rng.standard_normal(taps).astype(np.float32) * 0.01
+        pc = PartitionedConv(hpc, block_len=blk)
+        xpc = jnp.asarray(
+            rng.standard_normal((ch, blocks * blk)).astype(np.float32))
+        st0 = pc.init_state((ch,))
+
+        def pconv_step(v, sr=None, si=None, tl=None):
+            y, _ = pc.process(st0, v)
+            s = (jnp.sum(y * y) * np.float32(1e-12)).astype(v.dtype)
+            return (v + s,)
+
+        t, tb = best_of(pconv_step, (xpc,))
+        tot = ch * blocks * blk
+        # min-traffic model: read input + write output (+ FDL update:
+        # P spectra read + 1 written per block ~ P*4 B/sample at H=B)
+        pc_bytes = tot * 4 * (2 + pc.parts)
+        sol = round((pc_bytes / bw) / t, 3)
+        emit(bench="pconv_fdl", taps=taps, block=blk, parts=pc.parts,
+             samples=tot, msamp_s=round(tot / t / 1e6, 1),
+             msamp_s_best=round(tot / tb / 1e6, 1), sol=sol,
+             bw_artifact=sol > 1)
+
     # --- spectral zoom (CZT): Msamples/s in (bluestein.py; beyond-parity)
     if want("zoom"):
         n_z, m_z = 4096, 512
