@@ -60,6 +60,24 @@ def main() -> None:
     print(f"processed {y.size} samples; 1 kHz / 9 kHz power ratio: "
           f"{20*np.log10(p1k / max(p9k, 1e-12)):.1f} dB (expect > 40 dB)")
 
+    # --- partitioned convolution: same stream, a 48000-tap 'reverb' -------
+    # FastConv would need Nfft >= 2^17 (latency + memory to match the
+    # filter); the frequency-domain delay line keeps latency at ONE block.
+    reverb = (rng.standard_normal(48000) *
+              np.exp(-np.arange(48000) / 8000.0)).astype(np.float32) * 0.05
+    pc = pf.PartitionedConv(reverb, block_len=512)
+    st = pc.init_state()
+    x = rng.standard_normal(512 * 64).astype(np.float32)
+    outs = []
+    for i in range(0, x.size, 4096):  # soundcard-callback-sized pushes
+        yo, st = pc.process(st, x[i : i + 4096])
+        outs.append(np.asarray(yo))
+    yr = np.concatenate(outs)
+    ref = np.convolve(x.astype(np.float64), reverb.astype(np.float64))[: x.size]
+    err = np.abs(yr - ref).max() / np.abs(ref).max()
+    print(f"partitioned reverb ({pc.parts} partitions, latency "
+          f"{pc.latency} samples): stream error vs np.convolve {err:.2e}")
+
 
 if __name__ == "__main__":
     main()
