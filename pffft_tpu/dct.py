@@ -27,10 +27,11 @@ Constructions (each verified against the oracle in tests/test_dct.py):
         V = e^{+i pi k/2N} A, unscaled backward FFT, un-permute).
   dst2(x) = flip(dct2(x * (-1)^n));  dst3(x) = (-1)^k * dct3(flip(x)).
 
-Size support: the internal FFT length (2(N-1), 2(N+1), or N) must be
-2/3/5-smooth — including odd N for dct2/dct3/dst2/dst3 (the Makhoul
-permutation and its inverse are slice/concat constructions for any N;
-the FFTPACK oracle's cosq/sinq accept any N and so does this surface).
+Size support: ANY N.  Smooth internal FFT lengths (2(N-1), 2(N+1), N)
+ride the stage engine; non-smooth ones fall back to the chirp-Z engine
+(bluestein.py) — full parity with the FFTPACK oracle's any-N
+cost/sint/cosq/sinq surface.  The Makhoul permutation and its inverse
+are slice/concat constructions valid for any N, odd included.
 """
 
 from __future__ import annotations
@@ -50,7 +51,17 @@ __all__ = ["dct1", "dst1", "dct2", "dct3", "dst2", "dst3",
 
 
 def _cfft_split(re, im, n, dtype, backward=False):
-    p = _plan.Plan.create(n, _plan.COMPLEX, np.dtype(dtype).name, strict=False)
+    try:
+        p = _plan.Plan.create(n, _plan.COMPLEX, np.dtype(dtype).name,
+                              strict=False)
+    except ValueError:
+        # non-smooth internal length -> chirp-Z engine: the DCT/DST
+        # constructions then accept ANY N (the FFTPACK oracle's parity)
+        from . import bluestein as _bs
+
+        bp = _bs.new_setup_any(n, _plan.COMPLEX, np.dtype(dtype).name)
+        d = _plan.BACKWARD if backward else _plan.FORWARD
+        return _bs.transform_any_split(bp, (re, im), d)
     return _split.cfft_plan_split(p, re, im, backward=backward, ordered=True)
 
 
