@@ -225,18 +225,22 @@ def main():
         pc = PartitionedConv(hpc, block_len=blk)
         xpc = jnp.asarray(
             rng.standard_normal((ch, blocks * blk)).astype(np.float32))
-        st0 = pc.init_state((ch,))
+        sr0, si0, tl0 = pc.init_state((ch,))
+        hr0, hi0 = pc._h
 
-        def pconv_step(v, sr=None, si=None, tl=None):
-            y, _ = pc.process(st0, v)
+        # state/filter planes ride as ARGUMENTS (closure constants blow
+        # the remote-compile request limit — CLAUDE.md HTTP 413 rule)
+        def pconv_step(v, sr, si, tl, hr, hi):
+            y, (nsr, nsi, ntl) = pc._jitted(blocks, 1)(sr, si, tl, v, hr, hi)
             s = (jnp.sum(y * y) * np.float32(1e-12)).astype(v.dtype)
-            return (v + s,)
+            return v + s, nsr, nsi, ntl, hr, hi
 
-        t, tb = best_of(pconv_step, (xpc,))
+        t, tb = best_of(pconv_step, (xpc, sr0, si0, tl0, hr0, hi0))
         tot = ch * blocks * blk
-        # min-traffic model: read input + write output (+ FDL update:
-        # P spectra read + 1 written per block ~ P*4 B/sample at H=B)
-        pc_bytes = tot * 4 * (2 + pc.parts)
+        # min-traffic model: read input + write output (4 B each) + FDL:
+        # per B-sample block read P spectra + write 1, re+im planes at
+        # H = B bins -> 8*(P+1) B/sample
+        pc_bytes = tot * (8 + 8 * (pc.parts + 1))
         sol = round((pc_bytes / bw) / t, 3)
         emit(bench="pconv_fdl", taps=taps, block=blk, parts=pc.parts,
              samples=tot, msamp_s=round(tot / t / 1e6, 1),

@@ -23,7 +23,6 @@ Streaming convention: output n is sum_t h[t] x[n-t] with zero history
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -98,8 +97,10 @@ class PartitionedConv:
         cached = self._jit_cache.get((k, lead_ndim, ekey))
         if cached is not None:
             return cached
-        b, p, hb = self.block, self.parts, self.nfft // 2
+        b, p = self.block, self.parts
+        nfft = self.nfft
         plan = self.plan
+        hp = jax.lax.Precision.HIGHEST  # DEFAULT/HIGH are unusable (CLAUDE.md)
 
         def fn(sr, si, tail, x, hr, hi):
             lead = x.shape[:-1]
@@ -111,24 +112,44 @@ class PartitionedConv:
             # block-axis history: [.., P-1+K, H]
             ar = jnp.concatenate([sr, xr], axis=-2)
             ai = jnp.concatenate([si, xi], axis=-2)
-            # banded window: output block j needs spectra j-p for p=0..P-1
-            # (index P-1+j-p in the history) — P shifted slices, newest
-            # partition (p=0) last so stack axis order matches h[P-1-p]
-            wr = jnp.stack([ar[..., q : q + k, :] for q in range(p)], axis=-2)
-            wi = jnp.stack([ai[..., q : q + k, :] for q in range(p)], axis=-2)
-            hrr = hr[::-1]  # window q holds spectrum of block j-(P-1-q)
+            # banded correlation over the block axis: output block j needs
+            # spectra j-p for p = 0..P-1 (index P-1+j-p in the history);
+            # window q holds the spectrum of block j-(P-1-q)
+            hrr = hr[::-1]
             hii = hi[::-1]
-            acc_r = (jnp.einsum("...kph,ph->...kh", wr, hrr)
-                     - jnp.einsum("...kph,ph->...kh", wi, hii))
-            acc_i = (jnp.einsum("...kph,ph->...kh", wr, hii)
-                     + jnp.einsum("...kph,ph->...kh", wi, hrr))
-            # packed bin0 (DC + i*Nyq) accumulates componentwise
-            dc = jnp.einsum("...kp,p->...k", wr[..., 0], hrr[..., 0])
-            nyq = jnp.einsum("...kp,p->...k", wi[..., 0], hii[..., 0])
+            if p <= 16:
+                # small P: one MXU contraction over the partition axis
+                wr = jnp.stack([ar[..., q : q + k, :] for q in range(p)],
+                               axis=-2)
+                wi = jnp.stack([ai[..., q : q + k, :] for q in range(p)],
+                               axis=-2)
+                acc_r = (jnp.einsum("...kph,ph->...kh", wr, hrr, precision=hp)
+                         - jnp.einsum("...kph,ph->...kh", wi, hii, precision=hp))
+                acc_i = (jnp.einsum("...kph,ph->...kh", wr, hii, precision=hp)
+                         + jnp.einsum("...kph,ph->...kh", wi, hrr, precision=hp))
+                # packed bin0 (DC + i*Nyq) accumulates componentwise
+                dc = jnp.einsum("...kp,p->...k", wr[..., 0], hrr[..., 0],
+                                precision=hp)
+                nyq = jnp.einsum("...kp,p->...k", wi[..., 0], hii[..., 0],
+                                 precision=hp)
+            else:
+                # large P: fold without materializing the [.., K, P, H]
+                # window stack (P-fold memory blowup; the op is
+                # traffic-bound either way so elementwise MAC is fine)
+                acc_r = jnp.zeros_like(ar[..., :k, :])
+                acc_i = jnp.zeros_like(acc_r)
+                dc = jnp.zeros_like(acc_r[..., 0])
+                nyq = jnp.zeros_like(dc)
+                for q in range(p):
+                    cr, ci = ar[..., q : q + k, :], ai[..., q : q + k, :]
+                    acc_r = acc_r + cr * hrr[q] - ci * hii[q]
+                    acc_i = acc_i + cr * hii[q] + ci * hrr[q]
+                    dc = dc + cr[..., 0] * hrr[q, 0]
+                    nyq = nyq + ci[..., 0] * hii[q, 0]
             acc_r = _split._set_bin0(acc_r, dc)
             acc_i = _split._set_bin0(acc_i, nyq)
             y = _fft.transform_ordered_split(
-                plan, (acc_r, acc_i), _plan.BACKWARD) * (1.0 / self.nfft)
+                plan, (acc_r, acc_i), _plan.BACKWARD) * (1.0 / nfft)
             out = y[..., b:].reshape(*lead, k * b)  # last B of each block
             new_tail = blocks[..., -1, :]
             nsr = ar[..., k:, :] if p > 1 else sr

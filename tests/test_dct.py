@@ -14,7 +14,7 @@ def _rng(seed=0):
 
 # smooth internal FFT lengths (2(N-1), 2(N+1), N) ride the stage engine;
 # the non-smooth tail sizes exercise the chirp-Z fallback (any-N support)
-DCT1_N = [9, 25, 65, 121, 30, 97]   # 2(N-1): 16..240, then 58/192* via czt
+DCT1_N = [9, 25, 65, 121, 30, 98]   # 2(N-1): 16..240, then 58/194 via czt
 DST1_N = [7, 24, 63, 127, 34, 101]  # 2(N+1): 16..256, then 70/204* via czt
 Q_N = [8, 16, 60, 128, 480, 15, 45, 135, 375, 7, 97, 101]  # + prime N
 
