@@ -110,3 +110,15 @@ def test_stft_accepts_named_windows():
     packed = full[:-1].copy()
     packed[0] = full[0].real + 1j * full[-1].real
     assert np.abs(s[0] - packed).max() / np.abs(full).max() < 1e-5
+
+
+@pytest.mark.parametrize("name", ["hamming", "blackman", "blackmanharris"])
+def test_istft_reconstructs_with_named_windows(name):
+    """Least-squares COLA normalization composes with every window."""
+
+    x = np.random.default_rng(3).standard_normal(8192).astype(np.float32)
+    w = sp.get_window(name, 512)
+    s = sp.stft(jnp.asarray(x), 512, 128, window=w)
+    y = np.asarray(sp.istft(s, 128, window=w))
+    core = slice(512, min(len(y), 8192) - 512)
+    assert np.abs(y[core] - x[core]).max() < 5e-6
