@@ -52,6 +52,10 @@ from .fft import (
     irfft_packed,
     spectrum_unpack,
     spectrum_pack,
+    fftfreq,
+    rfftfreq,
+    fftshift,
+    ifftshift,
 )
 
 # Submodules as attributes (pffft_tpu.conv / .dsp / .channelizer / .parallel)
@@ -149,6 +153,10 @@ __all__ = [
     "rfft_packed",
     "irfft_packed",
     "spectrum_unpack",
+    "fftfreq",
+    "rfftfreq",
+    "fftshift",
+    "ifftshift",
     "spectrum_pack",
     "__version__",
 ]

@@ -52,6 +52,10 @@ __all__ = [
     "icfft",
     "spectrum_unpack",
     "spectrum_pack",
+    "fftfreq",
+    "rfftfreq",
+    "fftshift",
+    "ifftshift",
 ]
 
 
@@ -487,3 +491,52 @@ def zconvolve_split(plan: Plan, a, b, scaling=1.0, accumulate=None):
         cr = cr + accumulate[0]
         ci = ci + accumulate[1]
     return cr, ci
+
+
+# ---------------------------------------------------------------------------
+# Frequency-grid helpers (numpy.fft conventions; host-side numpy — these are
+# plan/axis bookkeeping, not device compute)
+# ---------------------------------------------------------------------------
+
+def fftfreq(n: int, d: float = 1.0) -> np.ndarray:
+    """Bin center frequencies of a length-n complex transform (np.fft.fftfreq)."""
+
+    n = int(n)
+    k = np.empty(n, dtype=np.float64)
+    half = (n - 1) // 2 + 1
+    k[:half] = np.arange(half)
+    k[half:] = np.arange(-(n // 2), 0)
+    return k / (n * d)
+
+
+def rfftfreq(n: int, d: float = 1.0) -> np.ndarray:
+    """Bin center frequencies of rfft_any / spectrum_unpack output
+    (np.fft.rfftfreq): n//2 + 1 non-negative bins."""
+
+    n = int(n)
+    return np.arange(n // 2 + 1, dtype=np.float64) / (n * d)
+
+
+def fftshift(x, axes=None):
+    """Move the zero-frequency bin to the center (np.fft.fftshift);
+    device-safe (jnp.roll = slice + concat, no gathers)."""
+
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    shift = [x.shape[a] // 2 for a in axes]
+    return jnp.roll(x, shift, axes)
+
+
+def ifftshift(x, axes=None):
+    """Inverse of fftshift (exact for odd lengths too)."""
+
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    shift = [-(x.shape[a] // 2) for a in axes]
+    return jnp.roll(x, shift, axes)

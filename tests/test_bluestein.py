@@ -242,3 +242,15 @@ def test_rfft_any_length_one():
     assert g.shape == (2, 1) and np.abs(g - x).max() == 0
     y = np.asarray(pf.irfft_any(g, 1))
     assert np.abs(y - x).max() == 0
+
+
+def test_freq_grid_helpers_match_numpy():
+    for n in (8, 9, 101, 4096):
+        assert np.allclose(pf.fftfreq(n, 0.25), np.fft.fftfreq(n, 0.25))
+        assert np.allclose(pf.rfftfreq(n, 0.25), np.fft.rfftfreq(n, 0.25))
+    x = np.arange(24).reshape(4, 6)
+    assert (np.asarray(pf.fftshift(x)) == np.fft.fftshift(x)).all()
+    assert (np.asarray(pf.ifftshift(pf.fftshift(x))) == x).all()
+    assert (np.asarray(pf.fftshift(x, 1)) == np.fft.fftshift(x, axes=1)).all()
+    x5 = np.arange(5)  # odd length: shift/ishift must be exact inverses
+    assert (np.asarray(pf.ifftshift(pf.fftshift(x5))) == x5).all()
