@@ -87,7 +87,7 @@ from .bluestein import (
     zoom_fft_setup,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Plan",
