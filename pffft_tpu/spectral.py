@@ -104,6 +104,18 @@ def get_window(name: str, n: int, dtype=np.float32) -> np.ndarray:
             f"unknown window {name!r}; available: {sorted(_WINDOWS)}") from None
 
 
+
+def _coerce_window(window, n_fft: int) -> np.ndarray:
+    """None -> periodic Hann; str / (name, param) -> get_window; else the
+    array itself (cast to float32)."""
+
+    if window is None:
+        return hann(n_fft)
+    if isinstance(window, (str, tuple)):
+        return get_window(window, n_fft)
+    return np.asarray(window, dtype=np.float32)
+
+
 def frame_signal(x: jax.Array, frame_len: int, hop: int) -> jax.Array:
     """[..., L] -> [..., K, frame_len] frames at stride ``hop``.
 
@@ -139,7 +151,7 @@ def stft_split(
     planes (H = n_fft/2 packed bins, pffft bin0 convention)."""
 
     plan = _plan.Plan.create(n_fft, _plan.REAL, strict=False)
-    w = hann(n_fft) if window is None else np.asarray(window, dtype=np.float32)
+    w = _coerce_window(window, n_fft)
     fr = frame_signal(x.astype(jnp.float32), n_fft, hop) * jnp.asarray(w)
     return _fft.transform_ordered_split(plan, fr)
 
@@ -168,7 +180,7 @@ def istft(
     k = s.shape[-2]
     plan = _plan.Plan.create(n_fft, _plan.REAL, strict=False)
     frames = _fft.transform_ordered(plan, s, _plan.BACKWARD) / n_fft  # [..., K, n_fft]
-    w = hann(n_fft) if window is None else np.asarray(window, dtype=np.float32)
+    w = _coerce_window(window, n_fft)
     frames = frames * jnp.asarray(w)
     # overlap-add via the transpose of frame_signal: scatter-free padding sum
     out_len = (k - 1) * hop + n_fft
@@ -213,7 +225,7 @@ def welch_psd(
     numpy rfft layout), window-power normalized."""
 
     hop = hop or n_fft // 2
-    w = hann(n_fft) if window is None else np.asarray(window, dtype=np.float32)
+    w = _coerce_window(window, n_fft)
     sr, si = stft_split(x, n_fft, hop, w)
     p = sr * sr + si * si  # [..., K, H] packed
     pm = jnp.mean(p, axis=-2)

@@ -122,3 +122,12 @@ def test_istft_reconstructs_with_named_windows(name):
     y = np.asarray(sp.istft(s, 128, window=w))
     core = slice(512, min(len(y), 8192) - 512)
     assert np.abs(y[core] - x[core]).max() < 5e-6
+
+
+def test_window_names_accepted_by_entry_points():
+    x = np.random.default_rng(5).standard_normal(2048).astype(np.float32)
+    a = np.asarray(sp.stft(jnp.asarray(x), 256, 64, window="blackman"))
+    b = np.asarray(sp.stft(jnp.asarray(x), 256, 64, window=sp.blackman(256)))
+    assert np.abs(a - b).max() == 0
+    p = np.asarray(sp.welch_psd(jnp.asarray(x), 256, window=("kaiser", 10.0)))
+    assert np.isfinite(p).all()
