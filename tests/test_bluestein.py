@@ -254,3 +254,14 @@ def test_freq_grid_helpers_match_numpy():
     assert (np.asarray(pf.fftshift(x, 1)) == np.fft.fftshift(x, axes=1)).all()
     x5 = np.arange(5)  # odd length: shift/ishift must be exact inverses
     assert (np.asarray(pf.ifftshift(pf.fftshift(x5))) == x5).all()
+
+
+def test_czt_m_greater_than_n_interpolates():
+    """m > n with w = 1/m == zero-padded m-point FFT (spectral interp)."""
+
+    n, m = 96, 384
+    x = _rand_c(n).astype(np.complex64)
+    p = bs.CztPlan(n, m, w_phase=1.0 / m)
+    got = np.asarray(bs.czt(p, x))
+    ref = np.fft.fft(x, m)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
