@@ -13,6 +13,9 @@ SIMD headers, link-time multi-arch libraries with a runtime dispatcher
     the production two-fat-stage plans, batch-major, B % TB == 0.
   * ``pallas`` — the radix<=5 VPU butterfly kernel (ops/pallas_fft.py),
     time-major; covers thin-stage (CPU-policy) plans only.
+  * ``ksplit`` — hybrid: the VPU kernel runs the length-m sub-FFTs of
+    N = m*r in one HBM pass (stride-r subsequences as extra lane batch),
+    one XLA stage combines — extends the kernel past its VMEM ceiling.
 
 Measured guidance on TPU v5e (benchmarks/results/concat_r3.txt,
 engines_r3.csv; median of interleaved trials at plateau payloads): the
@@ -43,6 +46,8 @@ from . import split as _split
 __all__ = ["available_engines", "select_engine", "set_engine", "cfft_dispatch"]
 
 _FORCED: Optional[str] = None
+
+_ENGINES = ("xla", "fused2", "pallas", "ksplit")
 
 # VMEM budget for the fused kernels' block (bytes); beyond it Mosaic OOMs.
 _PALLAS_VMEM_BUDGET = 12 << 20
@@ -84,6 +89,119 @@ def _pallas_plan(plan: _plan.Plan) -> Optional[_plan.Plan]:
     return _thin_plan(plan.engine_n)
 
 
+# ksplit: the VPU kernel computes the length-m sub-FFTs of N = m*r in ONE
+# HBM pass (time-major [N, B] reshaped [m, r*B] — a free major-axis split,
+# exactly the Stockham pre-last-stage state [L=m, M=r, B]), then a single
+# XLA einsum stage does the radix-r combine, emitting the canonical
+# ordered spectrum with no transpose anywhere.  This extends the measured
+# kernel win (N<=1024, engines_r3/routed_tb_r3) to lengths whose direct
+# kernel exceeds the Mosaic scoped-VMEM stack: two passes total where the
+# XLA chain makes one pass per fat stage plus relayouts.  Per-N split
+# preference is measured (scripts/r3_ksplit.py); values here are the
+# shipped defaults for the derivation below.
+_KSPLIT_CONF: dict = {}
+
+
+def _ksplit_conf(n: int) -> Optional[Tuple[int, int]]:
+    """(m, r) split for engine length n, or None (measured table first,
+    else the largest kernel-covered m in {1024, 512, 256} with 2<=r)."""
+
+    conf = _KSPLIT_CONF.get(n)
+    if conf is not None:
+        return conf
+    if n < 2048:
+        # the direct kernel covers N<=1024 (_TB_PREF); the hybrid's extra
+        # combine pass only pays past the Mosaic VMEM ceiling
+        return None
+    for m in (1024, 512, 256):
+        r = n // m
+        if n == m * r and 2 <= r <= 128 and _pk.thin_factors(m) is not None:
+            return (m, r)
+    return None
+
+
+def set_ksplit_conf(n: int, m: int, r: int) -> None:
+    """Record a measured (m, r) split for ``n`` (scripts/r3_ksplit.py)."""
+
+    global _TABLE_VERSION
+    if m * r != n:
+        raise ValueError(f"ksplit conf {m}*{r} != {n}")
+    _KSPLIT_CONF[int(n)] = (int(m), int(r))
+    _TABLE_VERSION += 1
+
+
+@_functools.lru_cache(maxsize=128)
+def _build_ksplit(n: int, m: int, r: int):
+    """(m_plan, last_stage) for the explicit split n = m*r, or None.
+
+    last_stage is the l=m, radix-r, m'=1 StageTables of the full-length
+    plan with factors (thin_factors(m)..., r): its twiddle W_{n}^{i*k'} and
+    dense DFT matrix finish the transform after the kernel's sub-FFTs."""
+
+    mplan = _thin_plan(m)
+    if mplan is None:
+        return None
+    try:
+        nplan = _plan.new_setup(
+            n, _plan.COMPLEX, factors=mplan.factors + (r,), strict=False
+        )
+    except ValueError:
+        return None
+    return mplan, [s for s in nplan.stages if s.r > 1][-1]
+
+
+def _ksplit_plans(n: int):
+    """(m_plan, last_stage) for engine length n per the conf table, or None."""
+
+    conf = _ksplit_conf(n)
+    if conf is None:
+        return None
+    return _build_ksplit(n, *conf)
+
+
+def cfft_ksplit_tmajor(
+    plan: _plan.Plan,
+    re: jax.Array,
+    im: jax.Array,
+    *,
+    backward: bool = False,
+    interpret: bool = False,
+    conf: Optional[Tuple[int, int]] = None,
+):
+    """Hybrid kernel+combine complex FFT, time-major planes [N, B].
+
+    Unscaled, canonical bin order.  N = m*r with the length-m sub-FFTs in
+    the fused Pallas kernel (stride-r subsequences ride the lane axis as
+    extra batch) and one XLA stage (twiddle + dense radix-r contraction)
+    combining them — output index t*m + k' is exactly row-major [r, m].
+    ``conf`` overrides the (m, r) split table (probe harnesses)."""
+
+    built = (
+        _build_ksplit(plan.engine_n, *conf)
+        if conf is not None
+        else _ksplit_plans(plan.engine_n)
+    )
+    if built is None:
+        raise ValueError(f"no ksplit configuration for N={plan.engine_n}")
+    mplan, last = built
+    n, b = re.shape
+    m, r = mplan.engine_n, last.r
+    tb = _pk.best_tb(m, r * b)
+    if tb is None:
+        raise ValueError(f"batch {b}: no kernel tile divides {r}*{b}")
+    ar = re.reshape(m, r * b)
+    ai = im.reshape(m, r * b)
+    ar, ai = _pk.cfft_pallas_tmajor(
+        mplan, ar, ai, backward=backward, tb=tb, interpret=interpret
+    )
+    consts = _split._stage_consts(last, backward)
+    ar = ar.reshape(m, r, 1, b)
+    ai = ai.reshape(m, r, 1, b)
+    ar, ai = _split._apply_twiddle(ar, ai, consts[4], 0)
+    nr, ni = _split._contract_stage(ar, ai, consts, "lrmb,rt->tlmb")
+    return nr.reshape(n, b), ni.reshape(n, b)
+
+
 def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[str, ...]:
     out = ["xla"]
     if (
@@ -102,14 +220,25 @@ def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[s
         and _pk.best_tb(plan.engine_n, batch) is not None
     ):
         out.append("pallas")
+    if (
+        plan.dtype == np.float32
+        and time_major
+        and _ksplit_plans(plan.engine_n) is not None
+        and _pk.best_tb(
+            _ksplit_plans(plan.engine_n)[0].engine_n,
+            _ksplit_plans(plan.engine_n)[1].r * batch,
+        )
+        is not None
+    ):
+        out.append("ksplit")
     return tuple(out)
 
 
 def set_engine(name: Optional[str]) -> None:
-    """Force an engine globally ('xla', 'fused2', 'pallas', or None)."""
+    """Force an engine globally ('xla', 'fused2', 'pallas', 'ksplit', or None)."""
 
     global _FORCED
-    if name not in (None, "xla", "fused2", "pallas"):
+    if name is not None and name not in _ENGINES:
         raise ValueError(f"unknown engine {name!r}")
     _FORCED = name
 
@@ -148,7 +277,7 @@ def record_engine(backend: str, n: int, engine: str, time_major: bool = False) -
     """Record a measured winner (updates the in-process dispatch table)."""
 
     global _TABLE_VERSION
-    if engine not in ("xla", "fused2", "pallas"):
+    if engine not in _ENGINES:
         raise ValueError(f"unknown engine {engine!r}")
     _MEASURED_TABLE[(backend, int(n), bool(time_major))] = engine
     _TABLE_VERSION += 1
@@ -252,6 +381,8 @@ def cfft_dispatch(
         return _pk.cfft_pallas_tmajor(
             pplan, re, im, backward=backward, tb=tb, interpret=interp
         )
+    if engine == "ksplit":
+        return cfft_ksplit_tmajor(plan, re, im, backward=backward, interpret=interp)
     if engine == "fused2":
         lead = re.shape[:-1]
         n = re.shape[-1]

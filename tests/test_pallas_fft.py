@@ -344,3 +344,89 @@ def test_chain_pref_switches_thin_plan():
     finally:
         dp.set_chain_pref(n, False)
     assert max(dp._thin_plan(n).factors) <= 5
+
+
+@pytest.mark.parametrize("n,b", [(2048, 128), (4096, 64)])
+def test_ksplit_matches_numpy(n, b):
+    """Hybrid kernel+combine engine: length-m sub-FFTs in the VPU kernel,
+    one XLA radix-r stage finishing ordered (dispatch.cfft_ksplit_tmajor)."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    plan = pf.new_setup(n, pf.COMPLEX)
+    conf = dp._ksplit_conf(n)
+    assert conf is not None and conf[0] * conf[1] == n
+    r = _rng(n)
+    re = jnp.asarray(r.standard_normal((n, b)).astype(np.float32))
+    im = jnp.asarray(r.standard_normal((n, b)).astype(np.float32))
+    z = np.asarray(re).astype(np.float64) + 1j * np.asarray(im).astype(np.float64)
+    kr, ki = dp.cfft_ksplit_tmajor(plan, re, im, interpret=True)
+    ref = np.fft.fft(z, axis=0)
+    err = np.abs((np.asarray(kr) + 1j * np.asarray(ki)) - ref).max()
+    assert err < 1e-5 * np.abs(ref).max(), n
+    # unscaled backward through the same hybrid
+    br, bi = dp.cfft_ksplit_tmajor(plan, kr, ki, backward=True, interpret=True)
+    assert np.abs(np.asarray(br) / n - np.asarray(re)).max() < 1e-4, n
+
+
+def test_ksplit_dispatch_route():
+    """A measured-table 'ksplit' entry must serve the public time-major
+    path; availability requires the kernel tile to divide r*batch."""
+
+    import jax
+
+    from pffft_tpu.ops import dispatch as dp
+
+    n = 2048
+    plan = pf.new_setup(n, pf.COMPLEX)
+    assert "ksplit" in dp.available_engines(plan, 128, True)
+    assert "ksplit" not in dp.available_engines(plan, 100, True)
+    assert "ksplit" not in dp.available_engines(plan, 128, False)
+    backend = jax.default_backend()
+    key = (backend, n, True)
+    prev = dp._MEASURED_TABLE.get(key)
+    dp.record_engine(backend, n, "ksplit", time_major=True)
+    try:
+        assert dp.select_engine(plan, 128, True) == "ksplit"
+        r = _rng(77)
+        re = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+        im = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+        xr, xi = dp.cfft_dispatch(plan, re, im, time_major=True)
+        ref = np.fft.fft(
+            np.asarray(re).astype(np.float64)
+            + 1j * np.asarray(im).astype(np.float64),
+            axis=0,
+        )
+        got = np.asarray(xr) + 1j * np.asarray(xi)
+        assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+    finally:
+        if prev is None:
+            dp._MEASURED_TABLE.pop(key, None)
+        else:
+            dp._MEASURED_TABLE[key] = prev
+
+
+def test_ksplit_conf_override():
+    """set_ksplit_conf records a measured split and bumps the state key."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    assert dp._ksplit_conf(4096) == (1024, 4)
+    k0 = dp.state_key()
+    dp.set_ksplit_conf(4096, 512, 8)
+    try:
+        assert dp._ksplit_conf(4096) == (512, 8)
+        assert dp.state_key() != k0
+        plan = pf.new_setup(4096, pf.COMPLEX)
+        r = _rng(5)
+        re = jnp.asarray(r.standard_normal((4096, 32)).astype(np.float32))
+        im = jnp.asarray(r.standard_normal((4096, 32)).astype(np.float32))
+        kr, ki = dp.cfft_ksplit_tmajor(plan, re, im, interpret=True)
+        z = np.asarray(re).astype(np.float64) + 1j * np.asarray(im).astype(np.float64)
+        ref = np.fft.fft(z, axis=0)
+        err = np.abs((np.asarray(kr) + 1j * np.asarray(ki)) - ref).max()
+        assert err < 1e-5 * np.abs(ref).max()
+    finally:
+        dp._KSPLIT_CONF.pop(4096, None)
+    with pytest.raises(ValueError):
+        dp.set_ksplit_conf(4096, 512, 4)
