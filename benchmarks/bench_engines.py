@@ -108,6 +108,14 @@ def main():
                     lambda r, i, p=p5, t=tb: pk.cfft_pallas_tmajor(p, r, i, tb=t),
                     (ret, imt),
                 ))
+            # hybrid kernel+combine (one XLA stage finishing the kernel's
+            # sub-FFTs) — the kernel's reach past its VMEM ceiling
+            if "ksplit" in dp.available_engines(plan, batch, True):
+                engines.append((
+                    "ksplit",
+                    lambda r, i, p=plan: dp.cfft_ksplit_tmajor(p, r, i),
+                    (ret, imt),
+                ))
 
         # interleaved rounds
         trials = {tag: [] for tag, _, _ in engines}

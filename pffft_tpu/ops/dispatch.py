@@ -220,17 +220,12 @@ def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[s
         and _pk.best_tb(plan.engine_n, batch) is not None
     ):
         out.append("pallas")
-    if (
-        plan.dtype == np.float32
-        and time_major
-        and _ksplit_plans(plan.engine_n) is not None
-        and _pk.best_tb(
-            _ksplit_plans(plan.engine_n)[0].engine_n,
-            _ksplit_plans(plan.engine_n)[1].r * batch,
-        )
-        is not None
-    ):
-        out.append("ksplit")
+    if plan.dtype == np.float32 and time_major:
+        built = _ksplit_plans(plan.engine_n)
+        if built is not None and _pk.best_tb(
+            built[0].engine_n, built[1].r * batch
+        ) is not None:
+            out.append("ksplit")
     return tuple(out)
 
 

@@ -430,3 +430,38 @@ def test_ksplit_conf_override():
         dp._KSPLIT_CONF.pop(4096, None)
     with pytest.raises(ValueError):
         dp.set_ksplit_conf(4096, 512, 4)
+
+
+def test_real_tmajor_ksplit_route():
+    """Real time-major N=4096 rides the half-length (2048) complex engine:
+    a recorded ksplit@2048 entry must serve it with correct spectra."""
+
+    import jax
+
+    from pffft_tpu.ops import dispatch as dp
+
+    n = 4096
+    plan = pf.new_setup(n, pf.REAL)
+    assert plan.engine_n == 2048
+    backend = jax.default_backend()
+    key = (backend, 2048, True)
+    prev = dp._MEASURED_TABLE.get(key)
+    dp.record_engine(backend, 2048, "ksplit", time_major=True)
+    try:
+        r = _rng(3)
+        x = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+        sr, si = pf.fft.transform_ordered_split_tmajor(plan, x, pf.FORWARD)
+        ref = np.fft.rfft(np.asarray(x).astype(np.float64), axis=0)
+        got = np.asarray(sr).astype(np.float64) + 1j * np.asarray(si).astype(np.float64)
+        # packed bin0 = DC + i*Nyquist
+        assert np.abs(got[0].real - ref[0].real).max() < 1e-3
+        assert np.abs(got[0].imag - ref[n // 2].real).max() < 1e-3
+        scale = np.abs(ref).max()
+        assert np.abs(got[1:] - ref[1 : n // 2]).max() < 1e-5 * scale
+        back = pf.fft.transform_ordered_split_tmajor(plan, (sr, si), pf.BACKWARD)
+        assert np.abs(np.asarray(back) / n - np.asarray(x)).max() < 1e-4
+    finally:
+        if prev is None:
+            dp._MEASURED_TABLE.pop(key, None)
+        else:
+            dp._MEASURED_TABLE[key] = prev
