@@ -1,0 +1,101 @@
+"""Fused spectral-convolution kernel (ops/conv_kernel.py) vs numpy.
+
+Interpret-mode on CPU — the same self-validation strategy as the FFT
+kernel tests (the reference's SIMD self-validation analog, SURVEY §4.5).
+The kernel computes IFFT(FFT(x) * Hf) per time-major column with the 1/N
+scale folded into Hf, i.e. the circular convolution of each column with
+the zero-padded filter (pffastconv_apply's per-block spectral step,
+/root/reference/src/pffastconv.c:185-196).
+"""
+
+import numpy as np
+import pytest
+
+import pffft_tpu as pf
+from pffft_tpu.ops import conv_kernel as ck
+from pffft_tpu.ops import pallas_fft as pk
+
+
+def _mk_plan(n):
+    f = pk.thin_factors(n)
+    return pf.new_setup(n, pf.COMPLEX, factors=f, strict=False)
+
+
+def _circ(x, h):
+    n = len(x)
+    hp = np.zeros(n, np.complex128)
+    hp[: len(h)] = h
+    return np.fft.ifft(np.fft.fft(x.astype(np.complex128)) * np.fft.fft(hp))
+
+
+@pytest.mark.parametrize("n", [64, 256, 480])
+def test_zconv_matches_circular_convolution(n):
+    rng = np.random.default_rng(7)
+    plan = _mk_plan(n)
+    b, flen = 256, 17
+    h = rng.standard_normal(flen) + 1j * rng.standard_normal(flen)
+    hfr, hfi = ck.filter_spectrum(plan, h)
+    re = rng.standard_normal((n, b)).astype(np.float32)
+    im = rng.standard_normal((n, b)).astype(np.float32)
+    yr, yi = ck.zconv_pallas_tmajor(
+        plan, re, im, hfr, hfi, tb=128, interpret=True
+    )
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    for c in (0, 1, b - 1):
+        ref = _circ(re[:, c] + 1j * im[:, c], h)
+        assert np.abs(got[:, c] - ref).max() <= 2e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_two_real_frames_per_complex_pass():
+    """Real filter + re=a, im=b packing => (h*a, h*b) exactly (Hermitian Hf)."""
+
+    rng = np.random.default_rng(3)
+    n, b, flen = 128, 128, 9
+    plan = _mk_plan(n)
+    h = rng.standard_normal(flen)
+    hfr, hfi = ck.filter_spectrum(plan, h)
+    a = rng.standard_normal((n, b)).astype(np.float32)
+    bb = rng.standard_normal((n, b)).astype(np.float32)
+    yr, yi = ck.zconv_pallas_tmajor(plan, a, bb, hfr, hfi, tb=128, interpret=True)
+    for c in (0, b // 2):
+        ra = _circ(a[:, c].astype(np.complex128), h).real
+        rb = _circ(bb[:, c].astype(np.complex128), h).real
+        assert np.abs(np.asarray(yr)[:, c] - ra).max() < 2e-4 * max(1.0, np.abs(ra).max())
+        assert np.abs(np.asarray(yi)[:, c] - rb).max() < 2e-4 * max(1.0, np.abs(rb).max())
+
+
+def test_matches_engine_fft_mul_ifft():
+    """Bit-level strategy check vs the XLA engine composition."""
+
+    rng = np.random.default_rng(11)
+    n, b = 256, 128
+    plan = _mk_plan(n)
+    h = rng.standard_normal(33) + 1j * rng.standard_normal(33)
+    hfr, hfi = ck.filter_spectrum(plan, h)
+    re = rng.standard_normal((n, b)).astype(np.float32)
+    im = rng.standard_normal((n, b)).astype(np.float32)
+    yr, yi = ck.zconv_pallas_tmajor(plan, re, im, hfr, hfi, tb=128, interpret=True)
+
+    import jax.numpy as jnp
+
+    sr, si = pf.fft.transform_ordered_split_tmajor(plan, (jnp.asarray(re), jnp.asarray(im)), pf.FORWARD)
+    mr = sr * hfr[:, None] - si * hfi[:, None]
+    mi = sr * hfi[:, None] + si * hfr[:, None]
+    br, bi = pf.fft.transform_ordered_split_tmajor(plan, (mr, mi), pf.BACKWARD)
+    assert np.abs(np.asarray(yr) - np.asarray(br)).max() < 1e-3
+    assert np.abs(np.asarray(yi) - np.asarray(bi)).max() < 1e-3
+
+
+def test_validation_errors():
+    plan = _mk_plan(256)
+    rng = np.random.default_rng(0)
+    re = rng.standard_normal((256, 100)).astype(np.float32)
+    hfr, hfi = ck.filter_spectrum(plan, np.ones(4))
+    with pytest.raises(ValueError):
+        ck.zconv_pallas_tmajor(plan, re, re, hfr, hfi, tb=128, interpret=True)
+    bad = pf.new_setup(4096, pf.COMPLEX, factors=(64, 64), strict=False)
+    assert not ck.supported(bad)  # dense r=64 stages are engine-only
+    x = rng.standard_normal((bad.n, 128)).astype(np.float32)
+    hr, hi = ck.filter_spectrum(bad, np.ones(4))
+    with pytest.raises(ValueError):
+        ck.zconv_pallas_tmajor(bad, x, x, hr, hi, tb=128, interpret=True)
