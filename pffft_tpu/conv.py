@@ -138,7 +138,14 @@ class FastConv:
                 self.plan, jnp.asarray(g.astype(self.dtype)), _plan.FORWARD
             )
             hf = None
+            # time-arranged filter, kept for the fused-kernel route's
+            # full complex spectrum (ops/conv_kernel.filter_spectrum)
+            self._g64 = g
         self._hf_cplx = hf  # complex-filter path only (CPU engine)
+        # fused spectral-conv kernel route override: None = measured
+        # dispatch table (ops/dispatch.conv_kernel_choice), True/False
+        # force on/off (tests, probes)
+        self._force_conv_kernel: Optional[bool] = None
 
     # ------------------------------------------------------------------
     @property
@@ -208,9 +215,66 @@ class FastConv:
 
         return jax.jit(pipe)
 
+    @functools.lru_cache(maxsize=256)
+    def _jitted_fused_stream(self, nb: int, force=None, ekey=None):
+        """One-HBM-pass block pipeline through the fused spectral-conv
+        Pallas kernel (ops/conv_kernel.py), or None to keep the XLA path.
+
+        The kernel is complex and time-major; a REAL filter's Hermitian
+        spectrum convolves TWO real frames per complex column (re = even
+        frames, im = odd frames), so the framing goes time-major —
+        [Nfft, nb] built with ONE stream-sized transpose — and columns
+        pair up with a plain minor-axis reshape.  Replaces the three
+        engine passes of the XLA pipeline (fwd rfft, zconvolve, bwd)
+        with one kernel pass; measured 2.6-4.3x at nfft=256 (route table
+        in ops/dispatch.py, benchmarks/results/convkernel_r3.txt).
+        """
+
+        if (
+            self.cplx_filter
+            or self.dtype != np.float32
+            or self.nfft > 2 * self.num_out_per_block
+        ):
+            return None
+        cols = (nb + 1) // 2
+        choice = _dispatch.conv_kernel_choice(self.nfft, cols, force)
+        if choice is None:
+            return None
+        from .ops import conv_kernel as _ck
+
+        cplan, tb = choice
+        colsp = -(-cols // tb) * tb
+        nfft, u = self.nfft, self.num_out_per_block
+        hfr, hfi = _ck.filter_spectrum(cplan, self._g64)
+        hfr = jnp.asarray(hfr)
+        hfi = jnp.asarray(hfi)
+        interp = jax.default_backend() != "tpu"
+
+        def pipe(x):  # padded stream [(nb+1)*u] -> valid samples [nb*u]
+            x2 = x.reshape(nb + 1, u).T  # [u, nb+1]
+            frames = jnp.concatenate([x2[:, :-1], x2[:, 1:]], axis=0)[:nfft]
+            fp = jnp.pad(frames, ((0, 0), (0, 2 * colsp - nb)))
+            f3 = fp.reshape(nfft, colsp, 2)
+            yr, yi = _ck.zconv_pallas_tmajor(
+                cplan, f3[..., 0], f3[..., 1], hfr, hfi, tb=tb, interpret=interp
+            )
+            y = jnp.stack([yr, yi], axis=-1).reshape(nfft, 2 * colsp)
+            return y[:u, :nb].T.reshape(-1)
+
+        return jax.jit(pipe)
+
     def _conv_stream(self, x: jax.Array, total_out: int) -> jax.Array:
         """Valid-mode overlap-save conv of a scalar stream; returns [total_out]."""
 
+        u = self.num_out_per_block
+        nb = -(-total_out // u)  # ceil
+        fused = self._jitted_fused_stream(
+            nb, self._force_conv_kernel, _dispatch.state_key()
+        )
+        if fused is not None:
+            pad_len = (nb + 1) * u
+            xp = jnp.pad(x, (0, max(0, pad_len - x.shape[0])))[:pad_len]
+            return fused(xp)[:total_out]
         frames, nb, u = self._frame(x, total_out)
         y = self._jitted_pipeline(nb, _dispatch.state_key())(frames)
         y = y[:, :u].reshape(-1)

@@ -267,6 +267,68 @@ _MEASURED_TABLE: dict = {
 
 _TABLE_VERSION = 0
 
+# Fused spectral-convolution kernel route (ops/conv_kernel.py): one HBM
+# pass per overlap-save block instead of three engine passes (the
+# reference's fwd-FFT / zconvolve / bwd-FFT block loop,
+# /root/reference/src/pffastconv.c:185-196).  Measured round-3 at
+# plateau payloads, median of 5 interleaved rounds:
+#   bare block engines (benchmarks/results/convkernel_r3.txt):
+#     nfft=256 fused 45.3 Gsamp/s vs 17.6 (kernel-FFT composition) /
+#     10.5 (forced-xla); nfft=512: 15.1 vs 13.7 / 4.0
+#   END-TO-END FastConv pipelines incl. framing (convroute_r3.txt):
+#     nfft=128: 9.7 vs 2.4 Gsamp/s (4.1x); nfft=256: 11.2 vs 2.5 (4.5x);
+#     nfft=512: 6.3 vs 2.2 (2.8x); on-chip rel err 3e-7 vs the XLA path
+#   nfft=1024: the fwd+bwd stage chain doubles the Mosaic scoped-VMEM
+#   stack and the compile fails (HTTP 500) — stays on the XLA pipeline.
+_CONV_TABLE: dict = {
+    ("tpu", 128): True,
+    ("tpu", 256): True,
+    ("tpu", 512): True,
+    ("tpu", 1024): False,
+}
+
+
+def record_conv_route(backend: str, nfft: int, use: bool) -> None:
+    """Record a measured fused-conv-kernel route decision."""
+
+    global _TABLE_VERSION
+    _CONV_TABLE[(backend, int(nfft))] = bool(use)
+    _TABLE_VERSION += 1
+
+
+def conv_kernel_choice(
+    nfft: int, cols: int, force: Optional[bool] = None
+) -> Optional[Tuple[_plan.Plan, int]]:
+    """(thin plan, tile) for the fused spectral-conv kernel over ``cols``
+    complex columns of length ``nfft``, or None to keep the XLA pipeline.
+
+    Honors the engine force ('xla' disables, 'pallas' enables wherever the
+    kernel covers the length) and the measured per-backend table
+    otherwise.  ``force`` overrides both (tests / probes).  The tile is
+    the widest measured candidate whose column padding wastes <= 1/3 of
+    the batch (tiles are preference-ordered; wider lane tiles measure up
+    to 3x faster — ops/pallas_fft._TB_PREF).
+    """
+
+    if force is False:
+        return None
+    if force is None:
+        eng = _FORCED or (os.environ.get("PFFFT_TPU_ENGINE") or None)
+        if eng not in (None, "pallas"):
+            return None
+        if eng is None and not _CONV_TABLE.get((jax.default_backend(), nfft)):
+            return None
+    plan = _thin_plan(nfft)
+    if plan is None or cols < 1:
+        return None
+    cands = _pk.tb_candidates(nfft)
+    for tb in cands:
+        if (-cols) % tb <= cols // 3:
+            return plan, tb
+    if force:
+        return plan, min(cands)
+    return None
+
 
 def record_engine(backend: str, n: int, engine: str, time_major: bool = False) -> None:
     """Record a measured winner (updates the in-process dispatch table)."""

@@ -86,6 +86,67 @@ def test_matches_engine_fft_mul_ifft():
     assert np.abs(np.asarray(yi) - np.asarray(bi)).max() < 1e-3
 
 
+def test_fastconv_fused_route_matches_xla_pipeline():
+    """FastConv routed through the fused kernel == the XLA pipeline ==
+    np.convolve 'valid' (the route is framing + packing + kernel; this
+    exercises the whole overlap-save path, odd/even block counts and the
+    column padding)."""
+
+    rng = np.random.default_rng(5)
+    for flen, length in ((17, 3000), (63, 5000)):
+        h = rng.standard_normal(flen).astype(np.float32)
+        x = rng.standard_normal(length).astype(np.float32)
+        wants = np.convolve(x.astype(np.float64), h.astype(np.float64), "valid")
+
+        off = pf.conv.FastConv(h, flags=pf.conv.ConvFlags.NONE)
+        off._force_conv_kernel = False
+        on = pf.conv.FastConv(h, flags=pf.conv.ConvFlags.NONE)
+        on._force_conv_kernel = True
+        assert on._jitted_fused_stream(8, True) is not None, "route not taken"
+
+        y_off, c_off = off.apply(x, flush=True)
+        y_on, c_on = on.apply(x, flush=True)
+        assert c_on == c_off
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), atol=2e-3)
+        scale = max(1.0, np.abs(wants).max())
+        assert np.abs(np.asarray(y_on) - wants[: c_on]).max() <= 2e-4 * scale
+
+
+def test_fastconv_fused_route_complex_stream():
+    """CPLX_INP_OUT rides the same real pipelines (I and Q) through the
+    fused kernel."""
+
+    rng = np.random.default_rng(9)
+    h = rng.standard_normal(31).astype(np.float32)
+    x = (rng.standard_normal(2500) + 1j * rng.standard_normal(2500)).astype(np.complex64)
+    on = pf.conv.FastConv(h, flags=pf.conv.ConvFlags.CPLX_INP_OUT)
+    on._force_conv_kernel = True
+    off = pf.conv.FastConv(h, flags=pf.conv.ConvFlags.CPLX_INP_OUT)
+    off._force_conv_kernel = False
+    y_on, c1 = on.apply(x, flush=True)
+    y_off, c2 = off.apply(x, flush=True)
+    assert c1 == c2
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), atol=4e-3)
+
+
+def test_conv_kernel_choice_gating():
+    """Dispatch gate: measured table off-backend, force flag, tile/waste."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    # CPU backend has no measured route entry -> None without force
+    assert dp.conv_kernel_choice(256, 4096) is None
+    got = dp.conv_kernel_choice(256, 4096, force=True)
+    assert got is not None and got[1] == 1024  # widest measured tile
+    # padding waste > 1/3 -> smaller tile or (unforced) nothing
+    plan, tb = dp.conv_kernel_choice(256, 1500, force=True)
+    assert tb == 512
+    # force always returns a tile, even for tiny batches
+    plan, tb = dp.conv_kernel_choice(256, 8, force=True)
+    assert tb == 128
+    assert dp.conv_kernel_choice(256, 8, force=False) is None
+
+
 def test_validation_errors():
     plan = _mk_plan(256)
     rng = np.random.default_rng(0)
