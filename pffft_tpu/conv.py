@@ -142,10 +142,10 @@ class FastConv:
             # full complex spectrum (ops/conv_kernel.filter_spectrum)
             self._g64 = g
         self._hf_cplx = hf  # complex-filter path only (CPU engine)
-        # fused spectral-conv kernel route override: None = measured
-        # dispatch table (ops/dispatch.conv_kernel_choice), True/False
-        # force on/off (tests, probes)
-        self._force_conv_kernel: Optional[bool] = None
+        # time-major route override: None = measured dispatch table
+        # (ops/dispatch.conv_route_mode); True/'fused', 'tmajor', or
+        # False force a mode (tests, probes).  Set before first apply.
+        self._force_conv_kernel = None
 
     # ------------------------------------------------------------------
     @property
@@ -217,17 +217,23 @@ class FastConv:
 
     @functools.lru_cache(maxsize=256)
     def _jitted_fused_stream(self, nb: int, force=None, ekey=None):
-        """One-HBM-pass block pipeline through the fused spectral-conv
-        Pallas kernel (ops/conv_kernel.py), or None to keep the XLA path.
+        """Routed time-major block pipeline, or None for the batch-major
+        XLA path.
 
-        The kernel is complex and time-major; a REAL filter's Hermitian
-        spectrum convolves TWO real frames per complex column (re = even
-        frames, im = odd frames), so the framing goes time-major —
-        [Nfft, nb] built with ONE stream-sized transpose — and columns
-        pair up with a plain minor-axis reshape.  Replaces the three
-        engine passes of the XLA pipeline (fwd rfft, zconvolve, bwd)
-        with one kernel pass; measured 2.6-4.3x at nfft=256 (route table
-        in ops/dispatch.py, benchmarks/results/convkernel_r3.txt).
+        Both routed modes (ops/dispatch.conv_route_mode) share the
+        layout: a REAL filter's Hermitian spectrum convolves TWO real
+        frames per complex column (re = even frames, im = odd), framing
+        goes time-major — [Nfft, nb] built with ONE stream-sized
+        transpose — and columns pair up with a plain minor-axis reshape.
+
+        * 'fused': the one-HBM-pass spectral-conv Pallas kernel
+          (ops/conv_kernel.py) replaces the three engine passes of the
+          XLA pipeline; measured 2.2-4.5x end-to-end at nfft 64-512
+          (benchmarks/results/convroute_r3.txt, convroute2_r3.txt).
+        * 'tmajor': the composed pipeline through the dispatch-routed
+          time-major transforms + an XLA Hf multiply — wins on layout
+          where the fused kernel exceeds the Mosaic VMEM stack
+          (nfft=1024: 3.0x, nfft=2048: 1.9x, convroute2_r3.txt).
         """
 
         if (
@@ -236,28 +242,50 @@ class FastConv:
             or self.nfft > 2 * self.num_out_per_block
         ):
             return None
-        cols = (nb + 1) // 2
-        choice = _dispatch.conv_kernel_choice(self.nfft, cols, force)
-        if choice is None:
+        mode = _dispatch.conv_route_mode(self.nfft, force)
+        if mode is None:
             return None
+        cols = (nb + 1) // 2
+        nfft, u = self.nfft, self.num_out_per_block
         from .ops import conv_kernel as _ck
 
-        cplan, tb = choice
-        colsp = -(-cols // tb) * tb
-        nfft, u = self.nfft, self.num_out_per_block
+        if mode == "fused":
+            choice = _dispatch.conv_kernel_choice(
+                self.nfft, cols, True if force else None
+            )
+            if choice is None:
+                return None  # tile padding waste too high: XLA fallback
+            cplan, tb = choice
+            colsp = -(-cols // tb) * tb
+        else:  # 'tmajor': any dispatch-covered length; lane-tile columns
+            cplan = _plan.new_setup(nfft, _plan.COMPLEX)
+            tb = None
+            colsp = -(-cols // 128) * 128
         hfr, hfi = _ck.filter_spectrum(cplan, self._g64)
         hfr = jnp.asarray(hfr)
         hfi = jnp.asarray(hfi)
         interp = jax.default_backend() != "tpu"
+
+        def block_conv(re, im):
+            if tb is not None:
+                return _ck.zconv_pallas_tmajor(
+                    cplan, re, im, hfr, hfi, tb=tb, interpret=interp
+                )
+            sr, si = _fft.transform_ordered_split_tmajor(
+                cplan, (re, im), _plan.FORWARD
+            )
+            mr = sr * hfr[:, None] - si * hfi[:, None]
+            mi = sr * hfi[:, None] + si * hfr[:, None]
+            return _fft.transform_ordered_split_tmajor(
+                cplan, (mr, mi), _plan.BACKWARD
+            )
 
         def pipe(x):  # padded stream [(nb+1)*u] -> valid samples [nb*u]
             x2 = x.reshape(nb + 1, u).T  # [u, nb+1]
             frames = jnp.concatenate([x2[:, :-1], x2[:, 1:]], axis=0)[:nfft]
             fp = jnp.pad(frames, ((0, 0), (0, 2 * colsp - nb)))
             f3 = fp.reshape(nfft, colsp, 2)
-            yr, yi = _ck.zconv_pallas_tmajor(
-                cplan, f3[..., 0], f3[..., 1], hfr, hfi, tb=tb, interpret=interp
-            )
+            yr, yi = block_conv(f3[..., 0], f3[..., 1])
             y = jnp.stack([yr, yi], axis=-1).reshape(nfft, 2 * colsp)
             return y[:u, :nb].T.reshape(-1)
 

@@ -280,20 +280,57 @@ _TABLE_VERSION = 0
 #     nfft=512: 6.3 vs 2.2 (2.8x); on-chip rel err 3e-7 vs the XLA path
 #   nfft=1024: the fwd+bwd stage chain doubles the Mosaic scoped-VMEM
 #   stack and the compile fails (HTTP 500) — stays on the XLA pipeline.
+# Follow-up (convroute2_r3.txt, same protocol): nfft=64 fused 3.3 vs
+# 2.7 (composed tmajor) vs 1.5 Gsamp/s (xla).  Where the fused kernel
+# cannot compile, the COMPOSED time-major pipeline (same framing and
+# two-frames-per-column packing, dispatch-routed transforms + XLA Hf
+# multiply) still wins on layout alone: nfft=1024 6.5 vs 2.2 Gsamp/s
+# (3.0x — the FFT kernel carries it), nfft=2048 4.2 vs 2.2 (1.9x with
+# XLA engines on both sides).  Values: 'fused'/True, 'tmajor', falsy.
 _CONV_TABLE: dict = {
+    ("tpu", 64): True,
     ("tpu", 128): True,
     ("tpu", 256): True,
     ("tpu", 512): True,
-    ("tpu", 1024): False,
+    ("tpu", 1024): "tmajor",
+    ("tpu", 2048): "tmajor",
 }
 
 
-def record_conv_route(backend: str, nfft: int, use: bool) -> None:
-    """Record a measured fused-conv-kernel route decision."""
+def record_conv_route(backend: str, nfft: int, use) -> None:
+    """Record a measured conv route decision (True/'fused', 'tmajor',
+    or False)."""
 
     global _TABLE_VERSION
-    _CONV_TABLE[(backend, int(nfft))] = bool(use)
+    if use not in (True, False, "fused", "tmajor"):
+        raise ValueError(f"unknown conv route {use!r}")
+    _CONV_TABLE[(backend, int(nfft))] = use
     _TABLE_VERSION += 1
+
+
+def conv_route_mode(nfft: int, force=None) -> Optional[str]:
+    """'fused' | 'tmajor' | None — which overlap-save pipeline FastConv
+    runs for this block length (measured table + engine force; ``force``
+    overrides: True/'fused', 'tmajor', False)."""
+
+    if force is False:
+        return None
+    if force in (True, "fused"):
+        return "fused"
+    if force == "tmajor":
+        return "tmajor"
+    eng = _FORCED or (os.environ.get("PFFFT_TPU_ENGINE") or None)
+    if eng == "pallas":
+        t = _CONV_TABLE.get((jax.default_backend(), nfft)) or "fused"
+    elif eng is not None:
+        return None
+    else:
+        t = _CONV_TABLE.get((jax.default_backend(), nfft))
+    if t in (True, "fused"):
+        return "fused"
+    if t == "tmajor":
+        return "tmajor"
+    return None
 
 
 def conv_kernel_choice(
@@ -312,12 +349,8 @@ def conv_kernel_choice(
 
     if force is False:
         return None
-    if force is None:
-        eng = _FORCED or (os.environ.get("PFFFT_TPU_ENGINE") or None)
-        if eng not in (None, "pallas"):
-            return None
-        if eng is None and not _CONV_TABLE.get((jax.default_backend(), nfft)):
-            return None
+    if force is None and conv_route_mode(nfft) != "fused":
+        return None
     plan = _thin_plan(nfft)
     if plan is None or cols < 1:
         return None

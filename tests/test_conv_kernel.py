@@ -129,6 +129,46 @@ def test_fastconv_fused_route_complex_stream():
     np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), atol=4e-3)
 
 
+def test_fastconv_tmajor_route_matches_xla_pipeline():
+    """The composed time-major route (kernel-free: dispatch transforms +
+    XLA Hf multiply) == the batch-major pipeline == np.convolve."""
+
+    rng = np.random.default_rng(13)
+    h = rng.standard_normal(100).astype(np.float32)  # nfft = 256
+    x = rng.standard_normal(6000).astype(np.float32)
+    want = np.convolve(x.astype(np.float64), h.astype(np.float64), "valid")
+
+    off = pf.conv.FastConv(h)
+    off._force_conv_kernel = False
+    on = pf.conv.FastConv(h)
+    on._force_conv_kernel = "tmajor"
+    assert on._jitted_fused_stream(8, "tmajor") is not None
+
+    y_off, c_off = off.apply(x, flush=True)
+    y_on, c_on = on.apply(x, flush=True)
+    assert c_on == c_off
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), atol=2e-3)
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(np.asarray(y_on) - want[:c_on]).max() <= 2e-4 * scale
+
+
+def test_conv_route_mode_table():
+    from pffft_tpu.ops import dispatch as dp
+
+    # no cpu entries -> None in auto mode; force overrides
+    assert dp.conv_route_mode(256) is None
+    assert dp.conv_route_mode(256, force=True) == "fused"
+    assert dp.conv_route_mode(256, force="tmajor") == "tmajor"
+    assert dp.conv_route_mode(256, force=False) is None
+    dp.record_conv_route("cpu", 96, "tmajor")
+    try:
+        assert dp.conv_route_mode(96) == "tmajor"
+    finally:
+        dp.record_conv_route("cpu", 96, False)
+    with pytest.raises(ValueError):
+        dp.record_conv_route("cpu", 96, "nope")
+
+
 def test_conv_kernel_choice_gating():
     """Dispatch gate: measured table off-backend, force flag, tile/waste."""
 
