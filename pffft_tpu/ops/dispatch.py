@@ -294,6 +294,9 @@ _CONV_TABLE: dict = {
     ("tpu", 512): True,
     ("tpu", 1024): "tmajor",
     ("tpu", 2048): "tmajor",
+    # convroute3 block of convroute2_r3.txt: 4.5 vs 2.1 / 3.7 vs 2.0
+    ("tpu", 4096): "tmajor",
+    ("tpu", 8192): "tmajor",
 }
 
 
