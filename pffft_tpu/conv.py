@@ -261,12 +261,15 @@ class FastConv:
             cplan = _plan.new_setup(nfft, _plan.COMPLEX)
             tb = None
             colsp = -(-cols // 128) * 128
-        hfr, hfi = _ck.filter_spectrum(cplan, self._g64)
-        hfr = jnp.asarray(hfr)
-        hfi = jnp.asarray(hfi)
+        # keep the spectrum as NUMPY in the closure: this builder may be
+        # invoked inside an outer trace (a caller jitting around
+        # _conv_stream), where jnp.asarray would return a tracer and the
+        # lru-cached closure would leak it into later traces
+        hfr_np, hfi_np = _ck.filter_spectrum(cplan, self._g64)
         interp = jax.default_backend() != "tpu"
 
         def block_conv(re, im):
+            hfr, hfi = jnp.asarray(hfr_np), jnp.asarray(hfi_np)
             if tb is not None:
                 return _ck.zconv_pallas_tmajor(
                     cplan, re, im, hfr, hfi, tb=tb, interpret=interp

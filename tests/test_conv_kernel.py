@@ -152,6 +152,26 @@ def test_fastconv_tmajor_route_matches_xla_pipeline():
     assert np.abs(np.asarray(y_on) - want[:c_on]).max() <= 2e-4 * scale
 
 
+def test_fused_route_built_inside_outer_trace():
+    """Regression: the route builder is lru-cached; when its first call
+    happens inside an OUTER jit trace (e.g. a caller looping
+    _conv_stream under fori_loop, as bench_pipeline does), build-time
+    jnp constants would be tracers and leak into every later trace."""
+
+    import jax
+
+    rng = np.random.default_rng(21)
+    h = rng.standard_normal(17).astype(np.float32)
+    x = np.asarray(rng.standard_normal(1000).astype(np.float32))
+    cv = pf.conv.FastConv(h)
+    cv._force_conv_kernel = True
+    total = 1000 - cv.nfft + 1
+    total = (total // cv.num_out_per_block) * cv.num_out_per_block
+    y1 = jax.jit(lambda v: cv._conv_stream(v, total))(x)       # builds in-trace
+    y2 = jax.jit(lambda v: cv._conv_stream(v, total) * 2.0)(x)  # fresh trace
+    np.testing.assert_allclose(np.asarray(y2), 2 * np.asarray(y1), rtol=1e-6)
+
+
 def test_conv_route_mode_table():
     from pffft_tpu.ops import dispatch as dp
 
