@@ -141,6 +141,56 @@ def frame_signal(x: jax.Array, frame_len: int, hop: int) -> jax.Array:
     return frames[..., :frame_len]
 
 
+# Time-major STFT route: None = auto (on for the TPU backend — measured
+# 4-25x the batch-major composition at every probed n_fft 256..2048,
+# benchmarks/results/stft_tmajor_r3.txt; the batch-major REAL engine
+# collapses to ~175 Msamp/s at n_fft>=1024 while the time-major path
+# holds 3.4-4.5 Gsamp/s incl. the transpose back to the public [K, H]
+# layout), True/False = forced (tests, probes).
+_TMAJOR_STFT: Optional[bool] = None
+
+
+def _stft_tmajor_enabled() -> bool:
+    if _TMAJOR_STFT is not None:
+        return _TMAJOR_STFT
+    return jax.default_backend() == "tpu"
+
+
+def _stft_split_tmajor(
+    x: jax.Array, plan, hop: int, w: np.ndarray
+) -> Tuple[jax.Array, jax.Array]:
+    """Time-major STFT composition: frames [n_fft, ..., K] built with ONE
+    chunk transpose (the conv route's framing, ops/dispatch._CONV_TABLE
+    rationale), windowed on rows, time-major REAL transform, half-size
+    spectrum planes transposed back to the public [..., K, H] layout."""
+
+    n_fft = plan.n
+    lead = x.shape[:-1]
+    length = x.shape[-1]
+    if n_fft > length:
+        raise ValueError(f"frame_len {n_fft} > signal length {length}")
+    k = (length - n_fft) // hop + 1
+    spans = -(-n_fft // hop)
+    total = (k - 1 + spans) * hop
+    pad = total - length
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    else:
+        x = x[..., :total]
+    chunks = x.reshape(*lead, -1, hop)  # [..., Q, hop]
+    cm = jnp.moveaxis(chunks, -1, 0)  # [hop, ..., Q]
+    parts = [cm[..., s : s + k] for s in range(spans)]
+    fr = jnp.concatenate(parts, axis=0)[:n_fft]  # [n_fft, ..., K]
+    fr = fr * jnp.asarray(w).reshape((n_fft,) + (1,) * (fr.ndim - 1))
+    sr, si = _fft.transform_ordered_split_tmajor(
+        plan, fr.reshape(n_fft, -1), _plan.FORWARD
+    )
+    h = plan.spectrum_size
+    sr = jnp.moveaxis(sr.reshape((h,) + lead + (k,)), 0, -1)
+    si = jnp.moveaxis(si.reshape((h,) + lead + (k,)), 0, -1)
+    return sr, si
+
+
 def stft_split(
     x: jax.Array,
     n_fft: int,
@@ -152,6 +202,8 @@ def stft_split(
 
     plan = _plan.Plan.create(n_fft, _plan.REAL, strict=False)
     w = _coerce_window(window, n_fft)
+    if _stft_tmajor_enabled():
+        return _stft_split_tmajor(x.astype(jnp.float32), plan, hop, w)
     fr = frame_signal(x.astype(jnp.float32), n_fft, hop) * jnp.asarray(w)
     return _fft.transform_ordered_split(plan, fr)
 

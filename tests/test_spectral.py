@@ -131,3 +131,38 @@ def test_window_names_accepted_by_entry_points():
     assert np.abs(a - b).max() == 0
     p = np.asarray(sp.welch_psd(jnp.asarray(x), 256, window=("kaiser", 10.0)))
     assert np.isfinite(p).all()
+
+
+def test_stft_tmajor_route_matches_batch(monkeypatch):
+    """The time-major STFT composition (TPU route) == the batch-major
+    path, 1-D and batched, even/odd frame counts, hop < and == n_fft."""
+
+    import pffft_tpu.spectral as sp
+
+    rng = np.random.default_rng(31)
+    for shape, n_fft, hop in [
+        ((4000,), 256, 128),
+        ((3, 2100), 128, 64),
+        ((2, 2, 1500), 64, 64),
+        ((1337,), 96, 48),
+    ]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        monkeypatch.setattr(sp, "_TMAJOR_STFT", False)
+        br, bi = sp.stft_split(x, n_fft, hop)
+        monkeypatch.setattr(sp, "_TMAJOR_STFT", True)
+        tr, ti = sp.stft_split(x, n_fft, hop)
+        assert tr.shape == br.shape and ti.shape == bi.shape
+        np.testing.assert_allclose(np.asarray(tr), np.asarray(br), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ti), np.asarray(bi), atol=2e-4)
+
+
+def test_welch_rides_tmajor_route(monkeypatch):
+    import pffft_tpu.spectral as sp
+
+    rng = np.random.default_rng(33)
+    x = rng.standard_normal(8192).astype(np.float32)
+    monkeypatch.setattr(sp, "_TMAJOR_STFT", False)
+    a = np.asarray(sp.welch_psd(x, 256))
+    monkeypatch.setattr(sp, "_TMAJOR_STFT", True)
+    b = np.asarray(sp.welch_psd(x, 256))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
