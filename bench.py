@@ -4,16 +4,20 @@ Headline metric (BASELINE.md north star): batched complex-FFT throughput in
 GFLOP/s on one TPU chip, fftw.org speed convention (5 * N * log2(N) flops
 per complex transform, /root/reference/benchmarks/bench_pffft.c:606).
 
-Three public configurations are measured and the one with the best MEDIAN
-speed-of-light fraction is the headline (all are fully recorded):
+The HEADLINE comes from the north-star band N=1024-65536 ONLY (round-3
+judge: an out-of-band config must not stand in for the band target):
+the best MEDIAN speed-of-light fraction among the IN-BAND configs is
+reported as ``value``/``vs_baseline``; every config — including the
+out-of-band small-N showcase — is fully recorded under ``configs``.
 
-  * batch-major N=4096 B=2048 through ``transform_ordered_split`` — the
-    round-1/2 headline shape (XLA dense-stage engine);
-  * time-major N=1024 B=16384 through ``transform_ordered_split_tmajor``
-    — the measured-dispatch route to the pallas VPU radix kernel
-    (routed_tb_r3.txt: 8/8 interleaved wins, median 0.29 SoL);
-  * time-major N=256 B=65536 — the kernel's best size under the per-N
-    tile policy (tb=1024; median 0.85 SoL, routed_tb_r3.txt).
+  * time-major N=1024/2048/4096 through the measured dispatch — the
+    single-HBM-pass Pallas radix kernel at the per-N tile policy
+    (round 4 unlocked the band: the Mosaic scoped-VMEM limit raise +
+    the scratch ping-pong chain, benchmarks/results/vmem_r4.txt,
+    scratch_r4.txt);
+  * batch-major N=4096 B=2048 — the XLA dense-stage engine (info);
+  * time-major N=256 B=65536 — the kernel's best out-of-band size
+    (tb=1024; median 0.85 SoL, routed_tb_r3.txt) (info).
 
 ``vs_baseline`` is the MEDIAN-of-trials fraction of speed-of-light: the
 bound is (bytes in + bytes out) at the v5e spec HBM bandwidth — 1.0 = the
@@ -110,28 +114,32 @@ def main():
             "trial_gflops": [round(flops / t / 1e9, 1) for t in trials],
         }
 
-    # config 1: batch-major N=4096 (round-1/2 headline shape)
+    def tmajor_cfg(n, b):
+        plan = pf.new_setup(n, pf.COMPLEX)
+        re = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
+        im = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
+        fn = lambda r, i, p=plan: pf.fft.transform_ordered_split_tmajor(
+            p, (r, i), pf.FORWARD)
+        return plan, fn, (re, im)
+
+    # in-band configs (the 1024-65536 north-star band): time-major through
+    # the measured dispatch = the single-pass Pallas kernel per-N tiles
+    band = []
+    for n, b in ((1024, 16384), (2048, 8192), (4096, 4096)):
+        if quick:
+            b //= 4
+        band.append((n, b) + tmajor_cfg(n, b))
+
+    # info config: batch-major N=4096 (XLA dense-stage engine)
     n1, b1 = 4096, (1024 if quick else 2048)
     plan1 = pf.new_setup(n1, pf.COMPLEX)
     re1 = jnp.asarray(rng.standard_normal((b1, n1)).astype(np.float32))
     im1 = jnp.asarray(rng.standard_normal((b1, n1)).astype(np.float32))
     fft1 = lambda r, i: pf.fft.transform_ordered_split(plan1, (r, i), pf.FORWARD)
 
-    # config 2: time-major N=1024 at plateau payload (pallas-routed on TPU)
-    n2, b2 = 1024, (4096 if quick else 16384)
-    plan2 = pf.new_setup(n2, pf.COMPLEX)
-    re2 = jnp.asarray(rng.standard_normal((n2, b2)).astype(np.float32))
-    im2 = jnp.asarray(rng.standard_normal((n2, b2)).astype(np.float32))
-    fft2 = lambda r, i: pf.fft.transform_ordered_split_tmajor(plan2, (r, i), pf.FORWARD)
-
-    # config 3: time-major N=256 at plateau payload — the pallas VPU
-    # kernel's best measured size with the per-N tile policy (tb=1024;
-    # routed_tb_r3.txt: median 0.85 SoL, 6/8 interleaved wins vs xla)
+    # info config: time-major N=256 — the kernel's best OUT-OF-BAND size
     n3, b3 = 256, (16384 if quick else 65536)
-    plan3 = pf.new_setup(n3, pf.COMPLEX)
-    re3 = jnp.asarray(rng.standard_normal((n3, b3)).astype(np.float32))
-    im3 = jnp.asarray(rng.standard_normal((n3, b3)).astype(np.float32))
-    fft3 = lambda r, i: pf.fft.transform_ordered_split_tmajor(plan3, (r, i), pf.FORWARD)
+    plan3, fft3, data3 = tmajor_cfg(n3, b3)
 
     # HBM roofline baseline: the TPU v5e spec bandwidth.  A fixed constant
     # (not a measured probe) so vs_baseline is comparable across rounds —
@@ -139,30 +147,37 @@ def main():
     # (see CLAUDE.md).  The measured probe is still reported as info.
     peak_bw = measure_peak_bw(128 << 20 if quick else 512 << 20)
 
-    res1 = measure("batch-major xla", n1, b1, fft1, (re1, im1))
-    res2 = measure("time-major dispatched", n2, b2, fft2, (re2, im2))
-    res3 = measure("time-major dispatched", n3, b3, fft3, (re3, im3))
-    head = max((res1, res2, res3), key=lambda r: r["vs_baseline_med"])
+    band_res = [
+        measure(f"time-major dispatched (in-band)", n, b, fn, data)
+        for n, b, _, fn, data in band
+    ]
+    res1 = measure("batch-major xla (info)", n1, b1, fft1, (re1, im1))
+    res3 = measure("time-major dispatched N=256 (out-of-band info)",
+                   n3, b3, fft3, data3)
+    # headline: best median among IN-BAND configs only
+    head = max(band_res, key=lambda r: r["vs_baseline_med"])
 
     # accuracy sanity vs numpy oracle on one transform of each config
+    def rel_err_tmajor(fn, re, im):
+        tr, ti = jax.jit(fn)(re, im)
+        got = (np.asarray(tr[:, 0]).astype(np.float64)
+               + 1j * np.asarray(ti[:, 0]).astype(np.float64))
+        ref = np.fft.fft(
+            np.asarray(re[:, 0]).astype(np.float64)
+            + 1j * np.asarray(im[:, 0]).astype(np.float64)
+        )
+        return float(np.abs(got - ref).max() / np.abs(ref).max())
+
+    errs = {}
+    for n, b, _, fn, data in band:
+        errs[f"tmajor_{n}"] = rel_err_tmajor(fn, *data)
     sr, si = jax.jit(fft1)(re1, im1)
     got = np.asarray(sr[0]).astype(np.float64) + 1j * np.asarray(si[0]).astype(np.float64)
     ref = np.fft.fft(
         np.asarray(re1[0]).astype(np.float64) + 1j * np.asarray(im1[0]).astype(np.float64)
     )
-    err1 = float(np.abs(got - ref).max() / np.abs(ref).max())
-    tr, ti = jax.jit(fft2)(re2, im2)
-    got2 = np.asarray(tr[:, 0]).astype(np.float64) + 1j * np.asarray(ti[:, 0]).astype(np.float64)
-    ref2 = np.fft.fft(
-        np.asarray(re2[:, 0]).astype(np.float64) + 1j * np.asarray(im2[:, 0]).astype(np.float64)
-    )
-    err2 = float(np.abs(got2 - ref2).max() / np.abs(ref2).max())
-    ur, ui = jax.jit(fft3)(re3, im3)
-    got3 = np.asarray(ur[:, 0]).astype(np.float64) + 1j * np.asarray(ui[:, 0]).astype(np.float64)
-    ref3 = np.fft.fft(
-        np.asarray(re3[:, 0]).astype(np.float64) + 1j * np.asarray(im3[:, 0]).astype(np.float64)
-    )
-    err3 = float(np.abs(got3 - ref3).max() / np.abs(ref3).max())
+    errs["batch_major_4096"] = float(np.abs(got - ref).max() / np.abs(ref).max())
+    errs["tmajor_256"] = rel_err_tmajor(fft3, *data3)
 
     dev = jax.devices()[0]
     print(
@@ -175,11 +190,15 @@ def main():
                 "value": head["gflops_med"],
                 "unit": "GFLOP/s",
                 "vs_baseline": head["vs_baseline_med"],
-                "speed_of_light_note": "vs_baseline = MEDIAN-of-trials fraction of the TPU v5e spec HBM roofline (819 GB/s): 1.0 = one read+write of the operands at spec bandwidth.  The 2-pass XLA engines bound at 0.5; the single-pass pallas kernel at 1.0.  Headline = the best median of the three public configs; all recorded under 'configs'.",
-                "configs": [res1, res2, res3],
+                "speed_of_light_note": "vs_baseline = MEDIAN-of-trials fraction of the TPU v5e spec HBM roofline (819 GB/s): 1.0 = one read+write of the operands at spec bandwidth.  The 2-pass XLA engines bound at 0.5; the single-pass pallas kernel at 1.0.  Headline = best median among the IN-BAND (N=1024-65536) configs; out-of-band and batch-major configs are info rows under 'configs'.",
+                "configs": band_res + [res1, res3],
                 "measured_probe_bw_GBps": round(peak_bw / 1e9, 1),
-                "plan_factors": {"batch_major": list(plan1.factors), "time_major": list(plan2.factors), "time_major_256": list(plan3.factors)},
-                "max_rel_err_vs_numpy": {"batch_major": err1, "time_major": err2, "time_major_256": err3},
+                "plan_factors": {
+                    **{f"tmajor_{n}": list(p.factors) for n, _, p, _, _ in band},
+                    "batch_major_4096": list(plan1.factors),
+                    "tmajor_256": list(plan3.factors),
+                },
+                "max_rel_err_vs_numpy": errs,
             }
         )
     )

@@ -158,12 +158,19 @@ def main():
     ap.add_argument("--tmajor", action="store_true",
                     help="time-major layout [N, B] through the dispatched "
                          "tmajor transforms (pallas-routed at N<=1024)")
+    ap.add_argument("--dtype", choices=("float32", "float64"),
+                    default="float32",
+                    help="float64 = the pffftd_ surface "
+                         "(/root/reference/src/pffft_double.c): soft-float "
+                         "on this TPU backend, benched to document the cost")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import pffft_tpu as pf
@@ -196,15 +203,17 @@ def main():
         for n in sizes:
             if not pf.is_valid_size(n, pf.REAL if kind == "real" else pf.COMPLEX):
                 continue
-            batch = max(8, (args.batch_mib << 20) // (4 * n))
+            isz = 8 if args.dtype == "float64" else 4
+            cdt = np.complex128 if args.dtype == "float64" else np.complex64
+            batch = max(8, (args.batch_mib << 20) // (isz * n))
             t_prep0 = time.perf_counter()
             plan = pf.new_setup(n, pf.REAL if kind == "real" else pf.COMPLEX,
-                                max_factor=args.max_factor)
+                                dtype=args.dtype, max_factor=args.max_factor)
             prep_ms = (time.perf_counter() - t_prep0) * 1e3
             xnp = znp = None
             if kind == "real":
                 if args.tmajor:
-                    xnp = rng.standard_normal((n, batch)).astype(np.float32)
+                    xnp = rng.standard_normal((n, batch)).astype(args.dtype)
                     x = jnp.asarray(xnp)
 
                     def step(v, p=plan):
@@ -212,7 +221,7 @@ def main():
                         return (pf.fft.transform_ordered_split_tmajor(
                             p, (sr, si), pf.BACKWARD),)
                 else:
-                    xnp = rng.standard_normal((batch, n)).astype(np.float32)
+                    xnp = rng.standard_normal((batch, n)).astype(args.dtype)
                     x = jnp.asarray(xnp)
 
                     def step(v, p=plan):
@@ -223,10 +232,10 @@ def main():
                 ts = [bench_op(step, (x,)) / 2.0 for _ in range(trials)]
                 compile_s = time.perf_counter() - tc0 - 2 * sum(ts)
                 t, tu = min(ts), None
-                bytes_min = (batch * n + 2 * batch * (n // 2)) * 4
+                bytes_min = (batch * n + 2 * batch * (n // 2)) * isz
                 mf = 2.5 * n * math.log2(n)
             else:
-                znp = (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+                znp = (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))).astype(cdt)
                 if args.tmajor:
                     re = jnp.asarray(znp.real.T.copy())
                     im = jnp.asarray(znp.imag.T.copy())
@@ -245,7 +254,7 @@ def main():
                     # unordered (internal layout) variant — the PFFFT-U analog
                     stepu = lambda r, i, p=plan: pf.fft.transform_split(p, (r, i), pf.FORWARD)
                     tu = min(bench_op(stepu, (re, im)) for _ in range(max(1, trials - 1)))
-                bytes_min = 4 * batch * n * 4
+                bytes_min = 4 * batch * n * isz
                 mf = 5.0 * n * math.log2(n)
             sol = (bytes_min / SPEC_BW_V5E) / t
             # faster-than-light rows are timing artifacts of this backend's
@@ -266,7 +275,7 @@ def main():
             # the SoL>1 re-measure above may have slowed `t` below trials
             # that were artifacts; the median must not beat the vetted best
             t_med = max(sorted(ts)[len(ts) // 2], t)
-            row = dict(kind=kind, n=n, batch=batch,
+            row = dict(kind=kind, n=n, batch=batch, dtype=args.dtype,
                        layout="tmajor" if args.tmajor else "bmajor",
                        ns_per=round(t / batch * 1e9, 2),
                        gflops=round(mf * batch / t / 1e9, 1),

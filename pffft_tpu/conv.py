@@ -193,8 +193,24 @@ class FastConv:
             return self._hf_cplx
         return jax.lax.complex(self.hf_re, self.hf_im).astype(self.plan.cdtype)
 
-    @functools.lru_cache(maxsize=256)
+    def _jit_memo(self, key, build):
+        """Per-instance jit-executable cache.
+
+        Deliberately NOT functools.lru_cache on the bound method: that
+        keys on ``self`` in a global table and pins up to 256 FastConv
+        instances (plus their executables) for process lifetime
+        (round-3 ADVICE).  A plain instance dict dies with the instance.
+        """
+
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
+
     def _jitted_pipeline(self, nb: int, ekey=None):
+        return self._jit_memo(("pipe", nb, ekey), lambda: self._build_pipeline(nb))
+
+    def _build_pipeline(self, nb: int):
         plan, scale = self.plan, self.scale
         if self.cplx_filter:
             hf = self._hf_cplx
@@ -215,8 +231,13 @@ class FastConv:
 
         return jax.jit(pipe)
 
-    @functools.lru_cache(maxsize=256)
     def _jitted_fused_stream(self, nb: int, force=None, ekey=None):
+        return self._jit_memo(
+            ("fused", nb, force, ekey),
+            lambda: self._build_fused_stream(nb, force),
+        )
+
+    def _build_fused_stream(self, nb: int, force=None):
         """Routed time-major block pipeline, or None for the batch-major
         XLA path.
 
@@ -254,7 +275,13 @@ class FastConv:
                 self.nfft, cols, True if force else None
             )
             if choice is None:
-                return None  # tile padding waste too high: XLA fallback
+                # tile padding waste too high for the kernel (short
+                # streams / small nb): the composed time-major pipeline
+                # below still beats the batch-major XLA path at these
+                # lengths (convroute2_r3.txt), so fall through to it
+                # rather than all the way back to XLA.
+                mode = "tmajor"
+        if mode == "fused":
             cplan, tb = choice
             colsp = -(-cols // tb) * tb
         else:  # 'tmajor': any dispatch-covered length; lane-tile columns
@@ -272,7 +299,8 @@ class FastConv:
             hfr, hfi = jnp.asarray(hfr_np), jnp.asarray(hfi_np)
             if tb is not None:
                 return _ck.zconv_pallas_tmajor(
-                    cplan, re, im, hfr, hfi, tb=tb, interpret=interp
+                    cplan, re, im, hfr, hfi, tb=tb, interpret=interp,
+                    scratch=_ck.use_scratch(nfft, tb),
                 )
             sr, si = _fft.transform_ordered_split_tmajor(
                 cplan, (re, im), _plan.FORWARD

@@ -59,12 +59,29 @@ def _boxcar3(r: int) -> np.ndarray:
 class CicDDC:
     """cicddc_init analog: holds the static plan (factor, kernel)."""
 
+    #: outputs per matmul row.  The frame-matvec form ([K, 3R-2] @ [3R-2])
+    #: lights 1 of 128 MXU output lanes (round-3 pipeline_r3.csv: 0.011
+    #: SoL at R=16); blocking S outputs per row makes it a real matmul
+    #: [K/S, (S+2)R] @ [(S+2)R, S] with a banded weight matrix — full
+    #: lane utilization at ~1.02x input traffic.
+    BLOCK_S = 128
+
     def __init__(self, factor: int):
         if factor < 1:
             raise ValueError("factor must be >= 1")
         self.factor = int(factor)
         # reversed kernel for the frame dot: out_k = frames[k] @ b3_rev
-        self.b3_rev = jnp.asarray(_boxcar3(self.factor)[::-1].astype(np.float32))
+        b3_rev = _boxcar3(self.factor)[::-1].astype(np.float32)
+        self.b3_rev = jnp.asarray(b3_rev)
+        # banded block weight: W[j*R + t, j] = b3_rev[t] so that
+        # rows[i] @ W gives outputs i*S .. i*S+S-1 in one contraction
+        r, s = self.factor, self.BLOCK_S
+        w = np.zeros((s * r + 2 * r, s), dtype=np.float32)
+        for j in range(s):
+            w[j * r : j * r + 3 * r - 2, j] = b3_rev
+        # jnp array passed as an ARGUMENT to the jitted apply (a closure
+        # constant this size would ride the remote_compile HTTP request)
+        self.block_w = jnp.asarray(w)
         # integrator-gain compensation 1/R^3 (pf_cic.cpp:70); the extra
         # 1/SHRT_MAX of the C gain is the int16-input normalization, applied
         # per format in apply().
@@ -134,7 +151,9 @@ class CicDDC:
             np.uint32(np.uint64(round((float(rate) % 1.0) * _TWO32)) & np.uint64(0xFFFFFFFF)),
             dtype=jnp.uint32,
         )
-        return self._jitted_apply(state, xr, xi, rate_fp, jnp.float32(scale))
+        return self._jitted_apply(
+            state, xr, xi, rate_fp, jnp.float32(scale), self.block_w
+        )
 
     def _frames(self, ext: jax.Array, k_out: int) -> jax.Array:
         """[R*(K+2)] -> [K, 3R-2] frames at hop R, gather-free.
@@ -150,21 +169,42 @@ class CicDDC:
         x2 = ext.reshape(k_out + 2, r)
         return jnp.concatenate([x2[:-2], x2[1:-1], x2[2:]], axis=-1)[:, : 3 * r - 2]
 
-    def _apply_impl(self, state, xr, xi, rate_fp, scale):
-        r = self.factor
+    def _block_rows(self, ext: jax.Array, kp: int) -> jax.Array:
+        """[R*kp + S*R] padded stream -> [kp/S, (S+2)*R] overlapping rows.
+
+        Row i = ext[i*S*R : i*S*R + (S+2)*R]: rows overlap by 2R samples,
+        so two shifted reshapes + one concat build them — no gather
+        (XLA gathers serialize on this backend)."""
+
+        r, s = self.factor, self.BLOCK_S
+        main = ext[: r * kp].reshape(kp // s, s * r)
+        tail = ext[s * r : s * r + r * kp].reshape(kp // s, s * r)[:, : 2 * r]
+        return jnp.concatenate([main, tail], axis=-1)
+
+    def _apply_impl(self, state, xr, xi, rate_fp, scale, w):
+        r, s = self.factor, self.BLOCK_S
         k_out = xr.shape[0] // r
         mr, mi = self._mix_split(xr, xi, state.phase_fp, rate_fp)
         extr = jnp.concatenate([state.hist_re, mr])  # [2R + RK]
         exti = jnp.concatenate([state.hist_im, mi])
-        b3 = self.b3_rev
-        g = self.gain * scale
-        yr = (self._frames(extr, k_out) @ b3) * g
-        yi = (self._frames(exti, k_out) @ b3) * g
         new_state = CicState(
             phase_fp=state.phase_fp + jnp.uint32(xr.shape[0]) * rate_fp,
             hist_re=extr[-2 * r :],
             hist_im=exti[-2 * r :],
         )
+        # pad outputs to a block multiple and the stream to row length
+        # (zeros only feed the trimmed tail outputs)
+        kp = -(-k_out // s) * s
+        pad = r * kp + s * r - extr.shape[0]
+        extr = jnp.pad(extr, (0, pad))
+        exti = jnp.pad(exti, (0, pad))
+        rows = jnp.concatenate(
+            [self._block_rows(extr, kp), self._block_rows(exti, kp)], axis=0
+        )
+        g = self.gain * scale
+        y = jnp.dot(rows, w, precision=jax.lax.Precision.HIGHEST)  # [2kp/S, S]
+        yr = y[: kp // s].reshape(kp)[:k_out] * g
+        yi = y[kp // s :].reshape(kp)[:k_out] * g
         return (yr, yi), new_state
 
     @property

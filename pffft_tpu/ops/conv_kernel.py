@@ -51,6 +51,20 @@ def supported(plan: _plan.Plan) -> bool:
     return _pk.supported(plan)
 
 
+# Scratch-vs-unrolled preference for the DOUBLED (fwd+bwd) chain: the
+# unrolled form compiled and won at nfft<=512 in round 3 (convroute_r3);
+# nfft>=1024 needs the ping-pong form (the unrolled chain died at any
+# tile there, convkernel_r4 probes the scratch coverage).
+_SCRATCH_PREF = {1024: True, 2048: True, 4096: True}
+
+
+def use_scratch(n: int, tb: int) -> bool:
+    pref = _SCRATCH_PREF.get(n)
+    if pref is not None:
+        return pref
+    return n * tb > 192 * 1024  # past the widest round-3 unrolled compile
+
+
 def filter_spectrum(plan: _plan.Plan, h: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(hfr, hfi): spectrum of filter ``h`` zero-padded to N, canonical
     order, pre-scaled by 1/N so the kernel's inverse needs no rescale."""
@@ -110,8 +124,61 @@ def _make_conv_kernel(n: int, stages, inner: int = 0):
     return kernel
 
 
+def _make_conv_kernel_scratch(n: int, stages):
+    """Scratch ping-pong form of the fused conv kernel.
+
+    The fwd+bwd chain doubles the stage count, which doubled the Mosaic
+    live-SSA stack and killed nfft>=1024 compiles in round 3.  Same
+    ping-pong trick as ops/pallas_fft._make_kernel_scratch: every stage
+    stores its flat [n, tb] result to an alternating VMEM ref, so the
+    live set is ~3 plane pairs at ANY chain length.  The Hf multiply is
+    folded into the last forward stage's values before its store."""
+
+    active = [s_ for s_ in stages if s_.r != 1]
+    s = len(active)
+
+    def kernel(*refs):
+        ntw = 2 * s
+        tw = [r_[:] for r_ in refs[:ntw]]
+        (hfr_ref, hfi_ref, re_ref, im_ref,
+         or_ref, oi_ref, sr_ref, si_ref) = refs[ntw:]
+        tb = re_ref.shape[-1]
+        hr = hfr_ref[:]  # [n, 1]
+        hi = hfi_ref[:]
+        total = 2 * s
+        src = (re_ref, im_ref)
+        for j in range(total):
+            backward = j >= s
+            idx = j - s if backward else j
+            st = active[idx]
+            twr, twi = tw[2 * idx], tw[2 * idx + 1]
+            if backward:
+                twi = -twi
+            ar = src[0][:].reshape(st.l, st.r * st.m, tb)
+            ai = src[1][:].reshape(st.l, st.r * st.m, tb)
+            ar, ai = _pk._stage_values(
+                ar, ai, st.l, st.r, st.m, twr, twi,
+                1.0 if backward else -1.0,
+            )
+            ar = ar.reshape(n, tb)
+            ai = ai.reshape(n, tb)
+            if j == s - 1:  # spectrum multiply rides the last fwd stage
+                ar, ai = ar * hr - ai * hi, ar * hi + ai * hr
+            dst = (
+                (or_ref, oi_ref)
+                if (total - 1 - j) % 2 == 0
+                else (sr_ref, si_ref)
+            )
+            dst[0][:] = ar
+            dst[1][:] = ai
+            src = dst
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=128)
-def _build(plan: _plan.Plan, tb: int, interpret: bool, inner: int = 0):
+def _build(plan: _plan.Plan, tb: int, interpret: bool, inner: int = 0,
+           scratch: bool = False):
     n = plan.engine_n
     active = [s for s in plan.stages if s.r != 1]
     tw_inputs = []
@@ -125,7 +192,12 @@ def _build(plan: _plan.Plan, tb: int, interpret: bool, inner: int = 0):
 
     hf_spec = pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
     data_spec = pl.BlockSpec((n, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
-    kernel = _make_conv_kernel(n, plan.stages, inner)
+    scratch_shapes = []
+    if scratch:
+        kernel = _make_conv_kernel_scratch(n, plan.stages)
+        scratch_shapes = [pltpu.VMEM((n, tb), jnp.float32)] * 2
+    else:
+        kernel = _make_conv_kernel(n, plan.stages, inner)
 
     def call(hfr, hfi, re, im):
         b = re.shape[-1]
@@ -137,6 +209,11 @@ def _build(plan: _plan.Plan, tb: int, interpret: bool, inner: int = 0):
         # fwd + bwd transform + the pointwise multiply
         flops = int(2 * 8 * n * math.log2(max(n, 2)) * b + 6 * n * b)
         ntw = len(tw_inputs)
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(_pk.VMEM_LIMIT)
+            )
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -145,9 +222,11 @@ def _build(plan: _plan.Plan, tb: int, interpret: bool, inner: int = 0):
             out_shape=out_shape,
             input_output_aliases={ntw + 2: 0, ntw + 3: 1},
             interpret=interpret,
+            scratch_shapes=scratch_shapes,
             cost_estimate=pl.CostEstimate(
                 flops=flops, bytes_accessed=4 * 4 * n * b, transcendentals=0
             ),
+            **params,
         )(*[jnp.asarray(t) for t in tw_inputs], hfr.reshape(n, 1), hfi.reshape(n, 1), re, im)
 
     return call
@@ -163,6 +242,7 @@ def zconv_pallas_tmajor(
     tb: int = _pk.DEFAULT_TB,
     interpret: bool = False,
     inner: int = 0,
+    scratch: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused block convolution of TIME-MAJOR planes [N, B] (B % tb == 0):
     returns IFFT(FFT(x) * Hf) per column, with Hf = filter_spectrum(...)
@@ -178,5 +258,5 @@ def zconv_pallas_tmajor(
         raise ValueError(f"batch {b} must be a multiple of tile {tb}")
     if inner and tb % inner:
         raise ValueError(f"tile {tb} must be a multiple of inner chunk {inner}")
-    call = _build(plan, tb, interpret, inner)
+    call = _build(plan, tb, interpret, inner, scratch)
     return call(hfr, hfi, re, im)

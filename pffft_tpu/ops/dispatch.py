@@ -192,7 +192,8 @@ def cfft_ksplit_tmajor(
     ar = re.reshape(m, r * b)
     ai = im.reshape(m, r * b)
     ar, ai = _pk.cfft_pallas_tmajor(
-        mplan, ar, ai, backward=backward, tb=tb, interpret=interpret
+        mplan, ar, ai, backward=backward, tb=tb, interpret=interpret,
+        scratch=_pk.use_scratch(m, tb),
     )
     consts = _split._stage_consts(last, backward)
     ar = ar.reshape(m, r, 1, b)
@@ -260,8 +261,16 @@ _MEASURED_TABLE: dict = {
     ("tpu", 512, True): "pallas",
     ("tpu", 1024, False): "xla",
     ("tpu", 1024, True): "pallas",
+    # Round 4 (vmem_r4.txt / scratch_r4.txt): raising the Mosaic scoped-
+    # VMEM limit to 100 MB unlocked the kernel across the north-star band
+    # — N=1024 tb1024 0.66-0.77 SoL, N=2048 tb512 0.61-1.00, N=4096 tb256
+    # 0.32-0.34 — vs XLA time-major medians of 0.17-0.23 there
+    # (sweep_r3_tmajor.csv), >=2x margins.  Batch-major stays xla (the
+    # transposes in/out of the kernel layout eat the win).
+    ("tpu", 2048, False): "xla",
+    ("tpu", 2048, True): "pallas",
     ("tpu", 4096, False): "xla",
-    ("tpu", 4096, True): "xla",
+    ("tpu", 4096, True): "pallas",
 }
 
 
@@ -324,7 +333,10 @@ def conv_route_mode(nfft: int, force=None) -> Optional[str]:
         return "tmajor"
     eng = _FORCED or (os.environ.get("PFFFT_TPU_ENGINE") or None)
     if eng == "pallas":
-        t = _CONV_TABLE.get((jax.default_backend(), nfft)) or "fused"
+        # sentinel-aware: a recorded False (e.g. the kernel crashes the
+        # remote compiler at this length) stays False even under the
+        # pallas force; only a table MISS defaults to the kernel.
+        t = _CONV_TABLE.get((jax.default_backend(), nfft), "fused")
     elif eng is not None:
         return None
     else:
@@ -472,7 +484,8 @@ def cfft_dispatch(
         pplan = _pallas_plan(plan)
         tb = _pk.best_tb(plan.engine_n, batch) or _pk.DEFAULT_TB
         return _pk.cfft_pallas_tmajor(
-            pplan, re, im, backward=backward, tb=tb, interpret=interp
+            pplan, re, im, backward=backward, tb=tb, interpret=interp,
+            scratch=_pk.use_scratch(plan.engine_n, tb),
         )
     if engine == "ksplit":
         return cfft_ksplit_tmajor(plan, re, im, backward=backward, interpret=interp)

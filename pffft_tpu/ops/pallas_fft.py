@@ -57,22 +57,26 @@ __all__ = [
 DEFAULT_TB = 128  # batch columns per grid step (one f32 lane tile)
 
 # Measured tile-batch preference per engine length (v5e, interleaved
-# rounds at plateau payloads — benchmarks/results/pallas_tb2_r3.txt):
-# wider lane tiles amortize grid steps and roughly TRIPLE the kernel's
-# throughput (N=256: 0.86 SoL at tb=1024 vs 0.26 at 128; N=512: 0.90 at
-# 384 vs 0.25), until the Mosaic scoped-VMEM stack gate kills the
-# compile (N=1024 tb=256 OOMs at 19.2 MB vs the 16 MB limit — the
-# unrolled stage chain's live values scale with both N*TB and the stage
-# count, so the cap is per-N measured, not a formula).
+# rounds at plateau payloads — benchmarks/results/pallas_tb2_r3.txt for
+# N<=512; vmem_r4.txt / scratch_r4.txt for N>=1024 after the scoped-VMEM
+# limit raise): wider lane tiles amortize grid steps and roughly TRIPLE
+# the kernel's throughput (N=256: 0.86 SoL at tb=1024 vs 0.26 at 128;
+# N=2048: 0.61-1.00 at tb=512 vs 0.26 at 128).  With the limit at 100 MB
+# the compile ceiling is n*tb <= 1M elements (4 MB/plane) at every
+# measured N — 2M-element shapes fail in the remote compiler even with
+# the scratch ping-pong chain (vmem2_r4.txt).
 _TB_PREF = {
     128: (512, 2048, 1024, 256, 128),
     256: (1024, 512, 256, 128),
     512: (384, 256, 128),
-    1024: (128,),
+    1024: (1024, 512, 256, 128),
+    2048: (512, 256, 128),
+    4096: (256, 128),
+    8192: (128,),
 }
 # For unmeasured lengths: largest lane-tile multiple with n*tb inside the
-# envelope every measured length compiles at.
-_SAFE_ELEMS = 128 * 1024
+# envelope every measured length compiles at (the 1M-element ceiling).
+_SAFE_ELEMS = 1024 * 1024
 
 
 def tb_candidates(n: int) -> Tuple[int, ...]:
@@ -101,11 +105,32 @@ def best_tb(n: int, batch: int) -> int | None:
     return None
 
 
+# Measured scratch-vs-unrolled preference (scratch_r4.txt): the ping-pong
+# chain TIES the unrolled chain at N<=4096 (medians within noise) and is
+# REQUIRED at N>=8192, where the unrolled chain's live SSA values blow the
+# compile even at tb=128 (4-stage chain).  Unmeasured lengths take the
+# scratch form whenever the tile exceeds the round-3 safe envelope — it
+# is never slower and compiles strictly more shapes.
+_SCRATCH_PREF = {1024: False, 2048: False, 4096: False, 8192: True}
+
+
+def use_scratch(n: int, tb: int) -> bool:
+    """Whether the dispatcher should run the scratch ping-pong kernel."""
+
+    pref = _SCRATCH_PREF.get(n)
+    if pref is not None:
+        return pref
+    return n * tb > 128 * 1024
+
+
 # Measured chain preference per engine length: True = the radix-16/8
-# chain (fewest VMEM traversals), False = the radix<=5 chain.  Filled
-# from scripts/r3_radix16.py once raced on the chip; default False
-# (the shipped, measured configuration).
-_CHAIN_PREF: dict = {}
+# chain (fewest VMEM traversals), False = the radix<=5 chain.  Round-4
+# measurement (vmem_r4.txt, interleaved at plateau payloads): the r16
+# chain ties r5 at the narrow tiles (2048/tb128: 0.261 vs 0.263;
+# 4096/tb128: 0.227 vs 0.238) and is the only chain raced/compiling at
+# the winning wide tiles (1024/tb1024 0.66-0.77, 2048/tb512 0.61-1.00,
+# 4096/tb256 0.32-0.34), so N>=1024 routes the r16 chain.
+_CHAIN_PREF: dict = {1024: True, 2048: True, 4096: True, 8192: True}
 
 
 def chain_pref(n: int) -> bool:
@@ -273,6 +298,47 @@ def _make_kernel(n: int, stages: Sequence, backward: bool, inner: int = 0):
     return kernel
 
 
+def _make_kernel_scratch(n: int, stages: Sequence, backward: bool):
+    """Ping-pong kernel: each stage stores its full [n, tb] result to a
+    VMEM ref and the next stage reloads it.
+
+    The unrolled value-chain kernel keeps every stage's output alive as
+    SSA values, so Mosaic's scoped-VMEM stack grows with BOTH n*tb and
+    the stage count (the round-3 ceiling).  Routing the dataflow through
+    two explicit scratch refs caps the live set at ~3 plane pairs
+    (src + dst + in-flight butterfly slabs) regardless of chain length —
+    VMEM-internal traffic the TPU's register-file-class bandwidth
+    absorbs, in exchange for single-HBM-pass coverage at large N."""
+
+    sign = 1.0 if backward else -1.0
+    active = [s for s in stages if s.r != 1]
+    s = len(active)
+
+    def kernel(*refs):
+        ntw = 2 * s
+        tw = [r_[:] for r_ in refs[:ntw]]
+        re_ref, im_ref, or_ref, oi_ref, sr_ref, si_ref = refs[ntw:]
+        tb = re_ref.shape[-1]
+        src = (re_ref, im_ref)
+        for idx, st in enumerate(active):
+            twr, twi = tw[2 * idx], tw[2 * idx + 1]
+            if backward:
+                twi = -twi
+            ar = src[0][:].reshape(st.l, st.r * st.m, tb)
+            ai = src[1][:].reshape(st.l, st.r * st.m, tb)
+            ar, ai = _stage_values(ar, ai, st.l, st.r, st.m, twr, twi, sign)
+            dst = (
+                (or_ref, oi_ref)
+                if (s - 1 - idx) % 2 == 0
+                else (sr_ref, si_ref)
+            )
+            dst[0][:] = ar.reshape(n, tb)
+            dst[1][:] = ai.reshape(n, tb)
+            src = dst
+
+    return kernel
+
+
 def supported(plan: _plan.Plan) -> bool:
     """Whether the fused kernel covers this plan (complex engine factors)."""
 
@@ -321,9 +387,18 @@ def thin_factors(n: int, radix16: bool = True) -> Tuple[int, ...] | None:
     return tuple(out)
 
 
+# Mosaic's *scoped* VMEM limit defaults to 16 MB, far below the 128 MB of
+# physical VMEM on v5e.  The unrolled stage chain's live values are what
+# blow past 16 MB at N>=2048 (and N=1024 tb>=256); raising the scoped
+# limit via compiler params is the direct fix — the kernel still only
+# *uses* what its dataflow needs, the limit is a compile-time gate.
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
 @functools.lru_cache(maxsize=256)
 def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool,
-           inner: int = 0):
+           inner: int = 0, vmem_limit: int | None = VMEM_LIMIT,
+           scratch: bool = False):
     n = plan.engine_n
     active = [s for s in plan.stages if s.r != 1]
     tw_inputs = []
@@ -336,7 +411,12 @@ def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool,
         tw_specs.extend([spec, spec])
 
     data_spec = pl.BlockSpec((n, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
-    kernel = _make_kernel(n, plan.stages, backward, inner)
+    scratch_shapes = []
+    if scratch:
+        kernel = _make_kernel_scratch(n, plan.stages, backward)
+        scratch_shapes = [pltpu.VMEM((n, tb), jnp.float32)] * 2
+    else:
+        kernel = _make_kernel(n, plan.stages, backward, inner)
 
     def call(re, im):
         b = re.shape[-1]
@@ -347,6 +427,11 @@ def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool,
         ]
         flops = int(8 * n * math.log2(max(n, 2)) * b)
         ntw = len(tw_inputs)
+        params = {}
+        if vmem_limit and not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(vmem_limit)
+            )
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -357,9 +442,11 @@ def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool,
             # (without it N=4096 TB=128 exceeds the 16 MB scoped limit)
             input_output_aliases={ntw: 0, ntw + 1: 1},
             interpret=interpret,
+            scratch_shapes=scratch_shapes,
             cost_estimate=pl.CostEstimate(
                 flops=flops, bytes_accessed=4 * 4 * n * b, transcendentals=0
             ),
+            **params,
         )(*[jnp.asarray(t) for t in tw_inputs], re, im)
 
     return call
@@ -374,12 +461,17 @@ def cfft_pallas_tmajor(
     tb: int = DEFAULT_TB,
     interpret: bool = False,
     inner: int = 0,
+    vmem_limit: int | None = VMEM_LIMIT,
+    scratch: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched complex FFT of TIME-MAJOR planes [N, B] (B % tb == 0).
 
     Unscaled both directions; canonical bin order (Stockham autosort).
     inner > 0 processes each [N, tb] block in sequential ``inner``-column
     chunks (smaller Mosaic scoped-VMEM stack at wide tiles).
+    scratch=True routes stage outputs through explicit VMEM ping-pong
+    refs instead of SSA values — the live set stops scaling with stage
+    count (single-pass coverage at large N; see _make_kernel_scratch).
     """
 
     if not supported(plan):
@@ -391,7 +483,7 @@ def cfft_pallas_tmajor(
         raise ValueError(f"batch {b} must be a multiple of tile {tb}")
     if inner and tb % inner:
         raise ValueError(f"tile {tb} must be a multiple of inner chunk {inner}")
-    call = _build(plan, backward, tb, interpret, inner)
+    call = _build(plan, backward, tb, interpret, inner, vmem_limit, scratch)
     return call(re, im)
 
 

@@ -8,6 +8,7 @@ the zero-padded filter (pffastconv_apply's per-block spectral step,
 /root/reference/src/pffastconv.c:185-196).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -129,6 +130,78 @@ def test_fastconv_fused_route_complex_stream():
     np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), atol=4e-3)
 
 
+def test_fastconv_fused_route_single_fft_stream():
+    """CPLX_INP_OUT|CPLX_SINGLE_FFT reaches the routed stream pipelines
+    (the gate checks cplx_filter/dtype/nfft but not single_fft): the
+    stride-2 filter embedding must survive the fused kernel and the
+    composed time-major route (round-3 ADVICE: this production-reachable
+    combination was unverified)."""
+
+    rng = np.random.default_rng(23)
+    h = rng.standard_normal(31).astype(np.float32)
+    x = (rng.standard_normal(2500) + 1j * rng.standard_normal(2500)).astype(
+        np.complex64
+    )
+    flags = pf.conv.ConvFlags.CPLX_INP_OUT | pf.conv.ConvFlags.CPLX_SINGLE_FFT
+    off = pf.conv.FastConv(h, flags=flags)
+    off._force_conv_kernel = False
+    y_off, c_off = off.apply(x, flush=True)
+    for force in (True, "tmajor"):
+        on = pf.conv.FastConv(h, flags=flags)
+        on._force_conv_kernel = force
+        assert on._jitted_fused_stream(64, force) is not None, "route not taken"
+        y_on, c_on = on.apply(x, flush=True)
+        assert c_on == c_off
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), atol=4e-3)
+
+
+def test_fused_choice_rejection_falls_through_to_tmajor(monkeypatch):
+    """When the table routes 'fused' but conv_kernel_choice rejects every
+    tile on column-padding waste (tiny streams), the builder must fall
+    through to the composed time-major route — which also beats the
+    batch-major XLA pipeline at these lengths — instead of returning
+    None (round-3 ADVICE)."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    rng = np.random.default_rng(29)
+    h = rng.standard_normal(17).astype(np.float32)  # nfft = 64
+    cv = pf.conv.FastConv(h)
+    backend = __import__("jax").default_backend()
+    monkeypatch.setitem(dp._CONV_TABLE, (backend, cv.nfft), "fused")
+    nb = 8  # cols = 4: padding waste 124/128 > 1/3 at every tile
+    assert dp.conv_kernel_choice(cv.nfft, (nb + 1) // 2) is None
+    fn = cv._jitted_fused_stream(nb)
+    assert fn is not None, "expected tmajor fallthrough, got XLA fallback"
+    x = rng.standard_normal((nb + 1) * cv.num_out_per_block).astype(np.float32)
+    got = np.asarray(fn(jnp.asarray(x)))
+    want = np.convolve(
+        x.astype(np.float64), h.astype(np.float64), "valid"
+    )[: nb * cv.num_out_per_block]
+    assert np.abs(got - want).max() <= 1e-4 * max(1.0, np.abs(want).max())
+
+
+def test_conv_route_pallas_force_respects_recorded_false():
+    """PFFFT_TPU_ENGINE=pallas defaults a table MISS to the fused kernel,
+    but an explicitly recorded False (e.g. the kernel crashes the remote
+    compiler at this length) must stay disabled (round-3 ADVICE)."""
+
+    import jax
+
+    from pffft_tpu.ops import dispatch as dp
+
+    backend = jax.default_backend()
+    key = (backend, 1 << 20)
+    try:
+        dp.set_engine("pallas")
+        assert dp.conv_route_mode(1 << 20) == "fused"  # miss -> default
+        dp.record_conv_route(backend, 1 << 20, False)
+        assert dp.conv_route_mode(1 << 20) is None  # recorded False sticks
+    finally:
+        dp.set_engine(None)
+        dp._CONV_TABLE.pop(key, None)
+
+
 def test_fastconv_tmajor_route_matches_xla_pipeline():
     """The composed time-major route (kernel-free: dispatch transforms +
     XLA Hf multiply) == the batch-major pipeline == np.convolve."""
@@ -220,3 +293,26 @@ def test_validation_errors():
     hr, hi = ck.filter_spectrum(bad, np.ones(4))
     with pytest.raises(ValueError):
         ck.zconv_pallas_tmajor(bad, x, x, hr, hi, tb=128, interpret=True)
+
+
+def test_conv_scratch_kernel_matches_unrolled():
+    """The fused conv kernel's scratch chain (doubled fwd+bwd stages
+    through VMEM ping-pong refs — the round-4 route to nfft>=1024) is
+    bit-identical to the unrolled chain in interpret mode."""
+
+    rng = np.random.default_rng(31)
+    for nfft in (256, 1024):
+        plan = pf.new_setup(
+            nfft, pf.COMPLEX, factors=pk.thin_factors(nfft), strict=False
+        )
+        h = rng.standard_normal(nfft // 4).astype(np.float32)
+        hfr, hfi = ck.filter_spectrum(plan, h)
+        re = jnp.asarray(rng.standard_normal((nfft, 128)).astype(np.float32))
+        im = jnp.asarray(rng.standard_normal((nfft, 128)).astype(np.float32))
+        a = ck.zconv_pallas_tmajor(
+            plan, re, im, jnp.asarray(hfr), jnp.asarray(hfi), interpret=True)
+        b = ck.zconv_pallas_tmajor(
+            plan, re, im, jnp.asarray(hfr), jnp.asarray(hfi), interpret=True,
+            scratch=True)
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))

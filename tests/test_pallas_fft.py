@@ -169,15 +169,18 @@ def test_tb_policy():
 
     assert pk.tb_candidates(256)[0] == 1024
     assert pk.tb_candidates(512)[0] == 384
-    assert pk.tb_candidates(1024) == (128,)
+    # round 4 (vmem_r4.txt): the scoped-VMEM limit raise unlocked wide
+    # tiles across the band — the compile ceiling is n*tb <= 1M elements
+    assert pk.tb_candidates(1024)[0] == 1024
+    assert pk.tb_candidates(2048)[0] == 512
+    assert pk.tb_candidates(4096)[0] == 256
+    assert pk.tb_candidates(8192) == (128,)
     assert pk.best_tb(256, 4096) == 1024
     assert pk.best_tb(256, 512) == 512       # fallback down the list
     assert pk.best_tb(512, 128 * 5) == 128   # 384 nor 256 divide 640
     assert pk.best_tb(1024, 100) is None     # not lane-tile aligned
     # unmeasured length: conservative n*tb envelope (floored at one lane
     # tile), lane-tile multiples only
-    cands = pk.tb_candidates(2048)
-    assert cands == (128,)
     cands = pk.tb_candidates(160)
     assert cands[0] * 160 <= pk._SAFE_ELEMS and all(c % 128 == 0 for c in cands)
 
@@ -465,3 +468,31 @@ def test_real_tmajor_ksplit_route():
             dp._MEASURED_TABLE.pop(key, None)
         else:
             dp._MEASURED_TABLE[key] = prev
+
+
+@pytest.mark.parametrize("n", [256, 1024, 8192])
+def test_scratch_kernel_matches_unrolled(n):
+    """The scratch ping-pong chain (VMEM-ref stage outputs — the round-4
+    route past the Mosaic live-SSA ceiling at N>=8192) must be
+    bit-identical to the unrolled value chain in interpret mode."""
+
+    plan = pf.new_setup(
+        n, pf.COMPLEX, factors=pk.thin_factors(n, radix16=True), strict=False
+    )
+    r = _rng(n)
+    re = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+    im = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+    for backward in (False, True):
+        ur, ui = pk.cfft_pallas_tmajor(
+            plan, re, im, backward=backward, interpret=True)
+        sr, si = pk.cfft_pallas_tmajor(
+            plan, re, im, backward=backward, interpret=True, scratch=True)
+        assert np.array_equal(np.asarray(ur), np.asarray(sr))
+        assert np.array_equal(np.asarray(ui), np.asarray(si))
+
+
+def test_use_scratch_policy():
+    assert not pk.use_scratch(1024, 1024)  # measured tie: unrolled ships
+    assert pk.use_scratch(8192, 128)  # unrolled cannot compile there
+    assert pk.use_scratch(6000, 256)  # unmeasured past the r3 envelope
+    assert not pk.use_scratch(192, 128)  # small tiles keep the r3 form
