@@ -271,6 +271,10 @@ _MEASURED_TABLE: dict = {
     ("tpu", 2048, True): "pallas",
     ("tpu", 4096, False): "xla",
     ("tpu", 4096, True): "pallas",
+    # N=8192: scratch chain tb128, med 0.204 vs xla tmajor 0.155 — a
+    # 1.3x margin (below the 1.5x gate) validated by the longer-round
+    # r4_routed race before shipping the round.
+    ("tpu", 8192, True): "pallas",
 }
 
 

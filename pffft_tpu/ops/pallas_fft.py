@@ -80,11 +80,17 @@ _SAFE_ELEMS = 1024 * 1024
 
 
 def tb_candidates(n: int) -> Tuple[int, ...]:
-    """Tile-batch candidates for engine length ``n``, best first."""
+    """Tile-batch candidates for engine length ``n``, best first.
+
+    Empty when even one lane tile exceeds the measured compile envelope
+    (n > 1M/128 elements — 16384/tb128 = 2M fails, scratch_r4.txt); the
+    dispatcher then keeps the XLA engine."""
 
     pref = _TB_PREF.get(n)
     if pref is not None:
         return pref
+    if n * 128 > _SAFE_ELEMS:
+        return ()
     top = max(128, (_SAFE_ELEMS // max(n, 1)) // 128 * 128)
     out = []
     tb = top
@@ -398,7 +404,7 @@ VMEM_LIMIT = 100 * 1024 * 1024
 @functools.lru_cache(maxsize=256)
 def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool,
            inner: int = 0, vmem_limit: int | None = VMEM_LIMIT,
-           scratch: bool = False):
+           scratch: bool = False, arbitrary_grid: bool = False):
     n = plan.engine_n
     active = [s for s in plan.stages if s.r != 1]
     tw_inputs = []
@@ -428,9 +434,13 @@ def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool,
         flops = int(8 * n * math.log2(max(n, 2)) * b)
         ntw = len(tw_inputs)
         params = {}
-        if vmem_limit and not interpret:
+        if not interpret and (vmem_limit or arbitrary_grid):
+            # 'arbitrary' stops Mosaic from double-buffering the I/O
+            # blocks across grid steps — at the n*tb compile wall the
+            # pipelining buffers are ~half the VMEM budget
             params["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=int(vmem_limit)
+                vmem_limit_bytes=int(vmem_limit) if vmem_limit else None,
+                dimension_semantics=("arbitrary",) if arbitrary_grid else None,
             )
         return pl.pallas_call(
             kernel,
@@ -463,6 +473,7 @@ def cfft_pallas_tmajor(
     inner: int = 0,
     vmem_limit: int | None = VMEM_LIMIT,
     scratch: bool = False,
+    arbitrary_grid: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched complex FFT of TIME-MAJOR planes [N, B] (B % tb == 0).
 
@@ -483,7 +494,8 @@ def cfft_pallas_tmajor(
         raise ValueError(f"batch {b} must be a multiple of tile {tb}")
     if inner and tb % inner:
         raise ValueError(f"tile {tb} must be a multiple of inner chunk {inner}")
-    call = _build(plan, backward, tb, interpret, inner, vmem_limit, scratch)
+    call = _build(plan, backward, tb, interpret, inner, vmem_limit, scratch,
+                  arbitrary_grid)
     return call(re, im)
 
 

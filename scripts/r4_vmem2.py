@@ -49,23 +49,46 @@ def main():
         print("=== full error for 4096/tb512/scr @100MB ===", flush=True)
         print(str(e)[:4000], flush=True)
 
-    # 2/3. variations: limit 127MB / 64MB, arbitrary grid dim
-    variations = [
-        ("limit127", dict(vmem_limit=127 * 1024 * 1024, scratch=True)),
-        ("limit64", dict(vmem_limit=64 * 1024 * 1024, scratch=True)),
-    ]
-    for tag, kw in variations:
+    # 2/3. variations: limit 127MB / 64MB, arbitrary grid dim (no
+    # pipelining double-buffer), at both 4096/tb512 and 16384/tb128
+    def try_case(n_, tb_, tag, kw):
+        f_ = pk.thin_factors(n_, radix16=True)
+        p_ = pf.new_setup(n_, pf.COMPLEX, factors=f_, strict=False)
+        b_ = max(tb_, 4 * tb_)
+        rr = jnp.asarray(rng.standard_normal((n_, b_)).astype(np.float32))
+        ii = jnp.asarray(rng.standard_normal((n_, b_)).astype(np.float32))
         try:
-            r, i = pk.cfft_pallas_tmajor(plan, re, im, tb=tb, **kw)
-            ref = np.fft.fft(np.asarray(re[:, :2]).astype(np.float64)
-                             + 1j * np.asarray(im[:, :2]).astype(np.float64),
+            r, i = pk.cfft_pallas_tmajor(p_, rr, ii, tb=tb_, **kw)
+            ref = np.fft.fft(np.asarray(rr[:, :2]).astype(np.float64)
+                             + 1j * np.asarray(ii[:, :2]).astype(np.float64),
                              axis=0)
             err = float(np.abs(
                 (np.asarray(r[:, :2]) + 1j * np.asarray(i[:, :2])) - ref
             ).max() / np.abs(ref).max())
-            print(f"4096/tb512/{tag}: compiles, err {err:.1e}", flush=True)
+            print(f"{n_}/tb{tb_}/{tag}: compiles, err {err:.1e}", flush=True)
+            if err < 1e-5:
+                from timing import bench_op
+                ts = sorted(
+                    bench_op(lambda a, c: pk.cfft_pallas_tmajor(
+                        p_, a, c, tb=tb_, **kw), (rr, ii), k1=4, k2=20)
+                    for _ in range(5))
+                med = ts[len(ts) // 2]
+                fl = 5.0 * b_ * n_ * math.log2(n_)
+                sol = 4 * b_ * n_ * 4 / SPEC_BW / med
+                print(f"{n_}/tb{tb_}/{tag}: med {fl/med/1e9:.0f} GF/s "
+                      f"SoL {sol:.3f} (small payload {4*n_*b_*4>>20} MB)",
+                      flush=True)
         except Exception as e:
-            print(f"4096/tb512/{tag}: FAIL {str(e)[:200]}", flush=True)
+            print(f"{n_}/tb{tb_}/{tag}: FAIL {str(e)[:200]}", flush=True)
+
+    for n_, tb_ in ((4096, 512), (16384, 128), (8192, 256)):
+        try_case(n_, tb_, "limit127",
+                 dict(vmem_limit=127 * 1024 * 1024, scratch=True))
+        try_case(n_, tb_, "arb100",
+                 dict(scratch=True, arbitrary_grid=True))
+        try_case(n_, tb_, "arb127",
+                 dict(vmem_limit=127 * 1024 * 1024, scratch=True,
+                      arbitrary_grid=True))
 
 
 if __name__ == "__main__":
