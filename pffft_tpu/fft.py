@@ -69,16 +69,52 @@ def _complex_transform(p: Plan, x: jax.Array, backward: bool, ordered: bool) -> 
     return _stages.cfft_plan(x, p, backward=backward, ordered=ordered)
 
 
+def _use_real_kernel(p: Plan, lead_shape) -> bool:
+    """Route the split step through the one-pass Pallas kernel
+    (ops/real_kernel.py) at large H on TPU: the jnp composition costs ~5
+    HBM passes there because XLA does not fuse the Hermitian mirror into
+    the combine (real_anatomy_r4.txt: split step = 70% of the engine's
+    own time at N=2^20-2^21)."""
+
+    from .ops import real_kernel as _rk
+
+    if p.dtype != np.float32 or jax.default_backend() != "tpu":
+        return False
+    b = int(np.prod(lead_shape)) if lead_shape else 1
+    return _rk.supported_shape(b, p.n // 2)
+
+
 def _real_forward_planar(p: Plan, x: jax.Array) -> "tuple[jax.Array, jax.Array]":
     zr, zi = _split.pack_real_input_split(x.astype(p.dtype.type))
     zr, zi = _dispatch.cfft_dispatch(p, zr, zi, backward=False)
+    if _use_real_kernel(p, zr.shape[:-1]):
+        from .ops import real_kernel as _rk
+
+        lead = zr.shape[:-1]
+        h = zr.shape[-1]
+        sr, si = _rk.real_split_pallas(
+            zr.reshape(-1, h), zi.reshape(-1, h), p.real_twiddle
+        )
+        return sr.reshape(*lead, h), si.reshape(*lead, h)
     return _split.real_forward_split_planar(zr, zi, p.real_twiddle)
 
 
 def _real_backward_planar(p: Plan, sr: jax.Array, si: jax.Array) -> jax.Array:
-    zr, zi = _split.real_backward_split_planar(
-        sr.astype(p.dtype.type), si.astype(p.dtype.type), p.real_twiddle
-    )
+    sr = sr.astype(p.dtype.type)
+    si = si.astype(p.dtype.type)
+    if _use_real_kernel(p, sr.shape[:-1]):
+        from .ops import real_kernel as _rk
+
+        lead = sr.shape[:-1]
+        h = sr.shape[-1]
+        zr, zi = _rk.real_split_pallas(
+            sr.reshape(-1, h), si.reshape(-1, h), p.real_twiddle,
+            backward=True,
+        )
+        zr = zr.reshape(*lead, h)
+        zi = zi.reshape(*lead, h)
+    else:
+        zr, zi = _split.real_backward_split_planar(sr, si, p.real_twiddle)
     wr, wi = _dispatch.cfft_dispatch(p, zr, zi, backward=True)
     return _split.interleave_to_real_split(wr, wi).astype(p.dtype.type)
 

@@ -1,0 +1,62 @@
+"""One-pass Pallas real split-step kernel (ops/real_kernel.py) vs the jnp
+composition — interpret mode on CPU, the SIMD-self-validation pattern
+(SURVEY §4.5).  The kernel is the TPU analog of the reference's fused
+REAL_FINALIZE / REAL_PREPROCESS (pffft_priv_impl.h:1273-1462)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pffft_tpu as pf
+from pffft_tpu import fft as pff
+from pffft_tpu.ops import real_kernel as rk
+from pffft_tpu.ops import split as sp
+
+
+@pytest.mark.parametrize("n,b", [(1 << 15, 4), (1 << 16, 6), (3 * (1 << 14), 2)])
+def test_split_kernel_matches_jnp_composition(n, b):
+    rng = np.random.default_rng(n)
+    h = n // 2
+    plan = pf.new_setup(n, pf.REAL)
+    tw = plan.real_twiddle
+    zr = jnp.asarray(rng.standard_normal((b, h)).astype(np.float32))
+    zi = jnp.asarray(rng.standard_normal((b, h)).astype(np.float32))
+    for backward in (False, True):
+        if backward:
+            r1, i1 = sp.real_backward_split_planar(zr, zi, tw)
+        else:
+            r1, i1 = sp.real_forward_split_planar(zr, zi, tw)
+        r2, i2 = rk.real_split_pallas(zr, zi, tw, backward=backward)
+        scale = float(jnp.abs(r1).max())
+        err = max(float(jnp.abs(r1 - r2).max()), float(jnp.abs(i1 - i2).max()))
+        assert err <= 2e-6 * max(1.0, scale), (backward, err)
+
+
+def test_routed_real_transform_with_kernel(monkeypatch):
+    """Force the fft.py route through the kernel (interpret on CPU): the
+    full real forward/backward must still match numpy and round-trip."""
+
+    monkeypatch.setattr(pff, "_use_real_kernel", lambda p, lead: True)
+    n, b = 1 << 15, 4
+    plan = pf.new_setup(n, pf.REAL)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    sr, si = pf.fft.transform_ordered_split(plan, jnp.asarray(x), pf.FORWARD)
+    ref = np.fft.rfft(x[0].astype(np.float64))
+    got = np.asarray(sr[0]).astype(np.float64) + 1j * np.asarray(si[0])
+    # packed bin0: DC + i*Nyq
+    assert abs(got[0].real - ref[0].real) < 1e-2
+    assert abs(got[0].imag - ref[-1].real) < 1e-2
+    scale = np.abs(ref).max()
+    assert np.abs(got[1:] - ref[1:-1]).max() < 1e-5 * scale
+    back = pf.fft.transform_ordered_split(plan, (sr, si), pf.BACKWARD)
+    assert np.abs(np.asarray(back) / n - x).max() < 1e-5
+
+
+def test_pick_blocks_policy():
+    assert rk.pick_blocks(4, 1 << 13) is None       # small H: jnp path
+    bt, hb = rk.pick_blocks(4, 1 << 19)
+    assert (1 << 19) % hb == 0 and bt * hb <= (1 << 18)
+    bt, hb = rk.pick_blocks(128, 1 << 15)
+    assert 128 % bt == 0 and bt * hb <= (1 << 18)
+    assert rk.pick_blocks(7, 1 << 15)[0] == 1       # odd batch: bt=1
