@@ -352,6 +352,44 @@ def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
     return jax.jit(fn)
 
 
+def _call_tmajor_fallback(plan: Plan, backward: bool, args):
+    """Invoke the jitted time-major transform with compile-retry.
+
+    At the kernel's n*tb ~ 2M-element wall the remote compiler fails
+    STOCHASTICALLY (vmem2_r4.txt: 4096/tb512 failed under load, then
+    compiled clean at 0.55 SoL) — on a remote-compile error while the
+    pallas engine is routed, record the tile (pallas_fft.record_tb_fail),
+    which bumps dispatch.state_key(), and re-trace with the next tile
+    candidate; the loop ends at the XLA engine (no tile left)."""
+
+    from .ops import pallas_fft as _pk
+
+    while True:
+        fn = _jitted_split_tmajor(plan, backward, _dispatch.state_key())
+        try:
+            return fn(*args)
+        except Exception as e:  # jaxlib runtime error types vary
+            msg = str(e)
+            if "remote_compile" not in msg and "RESOURCE_EXHAUSTED" not in msg:
+                raise
+            batch = args[0].shape[-1]
+            if _dispatch.select_engine(plan, batch, True) != "pallas":
+                raise
+            tb = _pk.best_tb(plan.engine_n, batch)
+            if tb is None:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"pallas kernel tile (n={plan.engine_n}, tb={tb}) failed to "
+                f"compile on the remote backend; falling back to the next "
+                f"tile ({type(e).__name__})",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            _pk.record_tb_fail(plan.engine_n, tb)
+
+
 def transform_ordered_split_tmajor(plan: Plan, x, direction=FORWARD):
     """Split-format ordered transform in TIME-MAJOR layout.
 
@@ -371,7 +409,7 @@ def transform_ordered_split_tmajor(plan: Plan, x, direction=FORWARD):
                     f"time-major real spectrum planes must be "
                     f"[{plan.spectrum_size}, B]; got {sr.shape}"
                 )
-            return _jitted_split_tmajor(plan, True, _dispatch.state_key())(sr, si)
+            return _call_tmajor_fallback(plan, True, (sr, si))
         if isinstance(x, (tuple, list)):
             raise ValueError(
                 "time-major REAL forward takes a single [N, B] real array "
@@ -381,13 +419,13 @@ def transform_ordered_split_tmajor(plan: Plan, x, direction=FORWARD):
             raise ValueError(
                 f"time-major real input must be [N={plan.n}, B]; got {x.shape}"
             )
-        return _jitted_split_tmajor(plan, False, _dispatch.state_key())(x)
+        return _call_tmajor_fallback(plan, False, (x,))
     re, im = x
     if re.ndim != 2 or re.shape[0] != plan.n:
         raise ValueError(
             f"time-major planes must be [N={plan.n}, B]; got {re.shape}"
         )
-    return _jitted_split_tmajor(plan, d == BACKWARD, _dispatch.state_key())(re, im)
+    return _call_tmajor_fallback(plan, d == BACKWARD, (re, im))
 
 
 @functools.lru_cache(maxsize=1024)

@@ -271,9 +271,10 @@ _MEASURED_TABLE: dict = {
     ("tpu", 2048, True): "pallas",
     ("tpu", 4096, False): "xla",
     ("tpu", 4096, True): "pallas",
-    # N=8192: scratch chain tb128, med 0.204 vs xla tmajor 0.155 — a
-    # 1.3x margin (below the 1.5x gate) validated by the longer-round
-    # r4_routed race before shipping the round.
+    # N=8192: scratch chain tb128 — routed_r4.txt end-to-end race:
+    # 0.207 vs 0.164 med SoL, 8/8 interleaved round wins (the margin is
+    # 1.26x, under the 1.5x gate, but the per-round win record is
+    # unanimous with tight trial spreads on both sides).
     ("tpu", 8192, True): "pallas",
 }
 
@@ -419,6 +420,7 @@ def state_key() -> tuple:
         _FORCED,
         os.environ.get("PFFFT_TPU_ENGINE") or None,
         _TABLE_VERSION,
+        _pk.tb_fail_version(),
         _split.cmul_mode(),
         _split._SPEC2_ENABLED,
         _split._STAGE_BARRIER,

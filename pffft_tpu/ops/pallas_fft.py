@@ -101,12 +101,34 @@ def tb_candidates(n: int) -> Tuple[int, ...]:
     return tuple(out)
 
 
+# Tiles whose remote compile failed IN THIS PROCESS: (n, tb).  At the
+# n*tb ~ 2M-element wall the remote compiler fails STOCHASTICALLY
+# (vmem2_r4.txt: 4096/tb512 failed twice under probe load, then compiled
+# clean twice serially at 0.55 SoL) — the public tmajor path catches the
+# compile error, records the tile here, and re-traces with the next
+# candidate (fft.py).  dispatch.state_key() includes tb_fail_version()
+# so the retry gets a fresh jit cache entry.
+_TB_FAILED: set = set()
+_TB_FAIL_VERSION = 0
+
+
+def record_tb_fail(n: int, tb: int) -> None:
+    global _TB_FAIL_VERSION
+    _TB_FAILED.add((int(n), int(tb)))
+    _TB_FAIL_VERSION += 1
+
+
+def tb_fail_version() -> int:
+    return _TB_FAIL_VERSION
+
+
 def best_tb(n: int, batch: int) -> int | None:
     """Best measured tile for (n, batch), or None if no candidate divides
-    the batch (the dispatcher then keeps the XLA engine)."""
+    the batch (the dispatcher then keeps the XLA engine).  Tiles whose
+    compile failed this process (record_tb_fail) are skipped."""
 
     for tb in tb_candidates(n):
-        if batch % tb == 0:
+        if batch % tb == 0 and (n, tb) not in _TB_FAILED:
             return tb
     return None
 
@@ -123,6 +145,10 @@ _SCRATCH_PREF = {1024: False, 2048: False, 4096: False, 8192: True}
 def use_scratch(n: int, tb: int) -> bool:
     """Whether the dispatcher should run the scratch ping-pong kernel."""
 
+    if n * tb > _SAFE_ELEMS:
+        # wall tiles (beyond the reliably-compiling envelope): only the
+        # scratch chain has ever compiled there (vmem2_r4.txt)
+        return True
     pref = _SCRATCH_PREF.get(n)
     if pref is not None:
         return pref
