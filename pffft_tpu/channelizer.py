@@ -181,7 +181,41 @@ class Channelizer:
 
         vr = self._polyphase(extr, k_frames)
         vi = self._polyphase(exti, k_frames)
+        if self._use_tmajor_fft(vr):
+            # ride the single-HBM-pass time-major kernel (routed at
+            # M=128-8192 since round 4, routed_r4.txt: 2-4.5x the
+            # batch-major XLA chain) — one transpose each way costs two
+            # passes, the kernel saves ~four
+            lead = vr.shape[:-1]
+            m = vr.shape[-1]
+            tr, ti = (
+                vr.reshape(-1, m).T,
+                vi.reshape(-1, m).T,
+            )
+            yr, yi = _fft.transform_ordered_split_tmajor(
+                self.plan, (tr, ti), _plan.BACKWARD
+            )
+            return yr.T.reshape(*lead, m), yi.T.reshape(*lead, m)
         return _fft.transform_ordered_split(self.plan, (vr, vi), _plan.BACKWARD)
+
+    def _use_tmajor_fft(self, v: jax.Array) -> bool:
+        """Auto: when the measured dispatch table routes time-major M to
+        the pallas kernel (and the batch is tile-aligned); override with
+        PFFFT_TPU_CHAN_TMAJOR=1/0."""
+
+        import os
+
+        env = os.environ.get("PFFFT_TPU_CHAN_TMAJOR")
+        if env is not None:
+            return env not in ("0", "false", "off")
+        if jax.default_backend() != "tpu" or self.plan.is_real:
+            return False
+        from .ops import dispatch as _dispatch
+
+        batch = int(np.prod(v.shape[:-1]))
+        return (
+            _dispatch.select_engine(self.plan, batch, True) == "pallas"
+        )
 
     def process_split(
         self, state: ChannelizerState, x_re: jax.Array, x_im: jax.Array

@@ -35,59 +35,72 @@ def main():
     from timing import bench_op
 
     rng = np.random.default_rng(0)
+    lim127 = 127 * 1024 * 1024
+    configs = [
+        ("scr100", dict(scratch=True)),
+        ("arb127", dict(scratch=True, vmem_limit=lim127, arbitrary_grid=True)),
+    ]
     cases = [(1024, 2048), (2048, 1024), (4096, 512), (8192, 256), (16384, 128)]
     for n, tb in cases:
         f = pk.thin_factors(n, radix16=True)
         plan = pf.new_setup(n, pf.COMPLEX, factors=f, strict=False)
-        ok = 0
-        for attempt in range(3):
-            b_try = tb * (2 + attempt)  # distinct shapes → fresh compiles
-            rr = jnp.asarray(rng.standard_normal((n, b_try)).astype(np.float32))
-            ii = jnp.asarray(rng.standard_normal((n, b_try)).astype(np.float32))
-            try:
-                r, i = pk.cfft_pallas_tmajor(plan, rr, ii, tb=tb, scratch=True)
-                ref = np.fft.fft(
-                    np.asarray(rr[:, :2]).astype(np.float64)
-                    + 1j * np.asarray(ii[:, :2]).astype(np.float64), axis=0)
-                err = float(np.abs(
-                    (np.asarray(r[:, :2]) + 1j * np.asarray(i[:, :2])) - ref
-                ).max() / np.abs(ref).max())
-                if err < 1e-5:
-                    ok += 1
-                    print(f"n={n} tb={tb} attempt {attempt}: ok err {err:.1e}",
-                          flush=True)
-                else:
-                    print(f"n={n} tb={tb} attempt {attempt}: MISMATCH {err:.2e}",
-                          flush=True)
-            except Exception as e:
-                print(f"n={n} tb={tb} attempt {attempt}: FAIL "
-                      f"{type(e).__name__}: {str(e)[:90]}", flush=True)
-        print(f"n={n} tb={tb}: {ok}/3 compile attempts ok", flush=True)
-        if ok == 0:
-            continue
-        # plateau timing
         b = (64 << 20) // (4 * n)
         b = max(tb, b - b % tb)
         rr = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
         ii = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
-        fn = lambda a, c, p=plan, t=tb: pk.cfft_pallas_tmajor(
-            p, a, c, tb=t, scratch=True)
-        ts = []
+        survivors = []
+        for tag, kw in configs:
+            ok = 0
+            for attempt in range(2):
+                b_try = tb * (2 + attempt)  # distinct shapes → fresh compiles
+                r2 = jnp.asarray(
+                    rng.standard_normal((n, b_try)).astype(np.float32))
+                i2 = jnp.asarray(
+                    rng.standard_normal((n, b_try)).astype(np.float32))
+                try:
+                    r, i = pk.cfft_pallas_tmajor(plan, r2, i2, tb=tb, **kw)
+                    ref = np.fft.fft(
+                        np.asarray(r2[:, :2]).astype(np.float64)
+                        + 1j * np.asarray(i2[:, :2]).astype(np.float64), axis=0)
+                    err = float(np.abs(
+                        (np.asarray(r[:, :2]) + 1j * np.asarray(i[:, :2])) - ref
+                    ).max() / np.abs(ref).max())
+                    if err < 1e-5:
+                        ok += 1
+                        print(f"n={n} tb={tb} {tag} attempt {attempt}: ok "
+                              f"err {err:.1e}", flush=True)
+                    else:
+                        print(f"n={n} tb={tb} {tag} attempt {attempt}: "
+                              f"MISMATCH {err:.2e}", flush=True)
+                except Exception as e:
+                    print(f"n={n} tb={tb} {tag} attempt {attempt}: FAIL "
+                          f"{type(e).__name__}: {str(e)[:90]}", flush=True)
+            print(f"n={n} tb={tb} {tag}: {ok}/2 compile attempts ok", flush=True)
+            if ok:
+                survivors.append((tag, kw))
+        # plateau timing of survivors, interleaved
+        trials = {tag: [] for tag, _ in survivors}
         for _ in range(ROUNDS):
-            try:
-                ts.append(bench_op(fn, (rr, ii), k1=4, k2=20, repeats=2))
-            except Exception as e:
-                print(f"n={n} tb={tb}: BENCH FAIL {type(e).__name__}", flush=True)
-                break
-        if not ts:
-            continue
-        ts = sorted(ts)
-        med = ts[len(ts) // 2]
+            for tag, kw in list(survivors):
+                fn = lambda a, c, p=plan, t=tb, k=kw: pk.cfft_pallas_tmajor(
+                    p, a, c, tb=t, **k)
+                try:
+                    trials[tag].append(
+                        bench_op(fn, (rr, ii), k1=4, k2=20, repeats=2))
+                except Exception as e:
+                    print(f"n={n} tb={tb} {tag}: BENCH FAIL "
+                          f"{type(e).__name__}", flush=True)
+                    survivors = [s for s in survivors if s[0] != tag]
         flops = 5.0 * b * n * math.log2(n)
         sol_t = 4 * b * n * 4 / SPEC_BW
-        print(f"n={n} b={b} tb={tb}/scr: med {flops/med/1e9:7.1f} GF/s "
-              f"(SoL {sol_t/med:.3f}) trials "
-              f"{[round(flops/t/1e9) for t in ts]}", flush=True)
+        for tag, _ in survivors:
+            if not trials[tag]:
+                continue
+            ts = sorted(trials[tag])
+            med = ts[len(ts) // 2]
+            print(f"n={n} b={b} tb={tb}/{tag}: med {flops/med/1e9:7.1f} GF/s "
+                  f"(SoL {sol_t/med:.3f}) trials "
+                  f"{[round(flops/t/1e9) for t in ts]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -169,3 +169,21 @@ def test_oversampled_requires_divisor():
 
     with pytest.raises(ValueError):
         OversampledChannelizer(16, 3)
+
+
+def test_tmajor_fft_route_matches_batch_major(monkeypatch):
+    """The round-4 time-major FFT route inside the channelizer (riding
+    the dispatched kernel at M in the routed band) must produce the same
+    channels as the batch-major path."""
+
+    monkeypatch.setenv("PFFFT_TPU_CHAN_TMAJOR", "1")
+    rng = np.random.default_rng(17)
+    ch = Channelizer(16, 4)
+    x = (rng.standard_normal(16 * 32) + 1j * rng.standard_normal(16 * 32)).astype(
+        np.complex64
+    )
+    y_t = np.asarray(ch.one_shot(x))
+    monkeypatch.setenv("PFFFT_TPU_CHAN_TMAJOR", "0")
+    ch2 = Channelizer(16, 4)
+    y_b = np.asarray(ch2.one_shot(x))
+    np.testing.assert_allclose(y_t, y_b, atol=1e-4 * max(1.0, np.abs(y_b).max()))
