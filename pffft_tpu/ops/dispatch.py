@@ -203,6 +203,167 @@ def cfft_ksplit_tmajor(
     return nr.reshape(n, b), ni.reshape(n, b)
 
 
+# ---------------------------------------------------------------------------
+# ksplit2: the ksplit decomposition INSIDE one Pallas kernel (round 4).
+#
+# The XLA-combine ksplit loses (ksplit_r4.txt: its combine is a second
+# HBM pass).  Here the combine is one more in-VMEM Stockham stage, so the
+# whole N = m*r transform stays a single HBM pass — and the m-chain runs
+# on r*tb concatenated lanes, the wide-tile regime where the kernel
+# measures 0.6-0.8 SoL, instead of the tb=128 cap that holds the direct
+# N>=8192 kernel at 0.2 (scratch_r4.txt).  The caller reshapes [N, B] ->
+# [m, r*B] (free, row-major); r views of that array (lane-block index
+# maps c*(B/tb)+j) land the r stride-r subsequences of batch block j in
+# VMEM, lane-concat makes the [m, r*tb] chain tile, and the last stage
+# lane-slices the r sub-spectra back (tile-aligned offsets) for the
+# twiddled radix-r combine: X[s*m + q] = sum_c W_N^{c*q} W_r^{c*s} Z_c[q].
+# ---------------------------------------------------------------------------
+
+
+def _make_ksplit2_kernel(n: int, m: int, r: int, mstages, last, backward: bool):
+    import jax.numpy as jnp
+
+    sign = 1.0 if backward else -1.0
+    active = [s for s in mstages if s.r != 1]
+    s = len(active)
+
+    def kernel(*refs):
+        ntw = 2 * s
+        tw = [r_[:] for r_ in refs[:ntw]]
+        ltwr = refs[ntw][:]
+        ltwi = -refs[ntw + 1][:] if backward else refs[ntw + 1][:]
+        views = refs[ntw + 2 : ntw + 2 + 2 * r]  # re views, then im views
+        or_ref, oi_ref, s0r, s0i, s1r, s1i = refs[ntw + 2 + 2 * r :]
+        tb = views[0].shape[-1]
+        ar = jnp.concatenate([v[:] for v in views[:r]], axis=-1)  # [m, r*tb]
+        ai = jnp.concatenate([v[:] for v in views[r:]], axis=-1)
+        src = None
+        for idx, st in enumerate(active):
+            twr, twi = tw[2 * idx], tw[2 * idx + 1]
+            if backward:
+                twi = -twi
+            if src is not None:
+                ar = src[0][:].reshape(st.l, st.r * st.m, r * tb)
+                ai = src[1][:].reshape(st.l, st.r * st.m, r * tb)
+            else:
+                ar = ar.reshape(st.l, st.r * st.m, r * tb)
+                ai = ai.reshape(st.l, st.r * st.m, r * tb)
+            ar, ai = _pk._stage_values(
+                ar, ai, st.l, st.r, st.m, twr, twi, sign)
+            dst = (s0r, s0i) if idx % 2 == 0 else (s1r, s1i)
+            dst[0][:] = ar.reshape(m, r * tb)
+            dst[1][:] = ai.reshape(m, r * tb)
+            src = dst
+        zr = src[0][:]
+        zi = src[1][:]
+        # lane-slice the r sub-spectra (tile-aligned) -> [m, r, tb]
+        slr = jnp.stack([zr[:, c * tb : (c + 1) * tb] for c in range(r)], axis=1)
+        sli = jnp.stack([zi[:, c * tb : (c + 1) * tb] for c in range(r)], axis=1)
+        lr, li = _pk._stage_values(
+            slr.reshape(m, r, tb), sli.reshape(m, r, tb),
+            m, r, 1, ltwr, ltwi, sign)
+        or_ref[:] = lr.reshape(n, tb)
+        oi_ref[:] = li.reshape(n, tb)
+
+    return kernel
+
+
+@_functools.lru_cache(maxsize=64)
+def _build_ksplit2(n: int, m: int, r: int, tb: int, backward: bool,
+                   interpret: bool):
+    import math as _math
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    built = _build_ksplit(n, m, r)
+    if built is None:
+        return None
+    mplan, last = built
+    active = [s for s in mplan.stages if s.r != 1]
+    tw_inputs = []
+    tw_specs = []
+    for st in active:
+        tw = st.twiddle
+        tw_inputs.append(np.ascontiguousarray(tw.real, dtype=np.float32))
+        tw_inputs.append(np.ascontiguousarray(tw.imag, dtype=np.float32))
+        spec = pl.BlockSpec((st.l, st.r), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+        tw_specs.extend([spec, spec])
+    ltw = last.twiddle  # [m, r]
+    tw_inputs.append(np.ascontiguousarray(ltw.real, dtype=np.float32))
+    tw_inputs.append(np.ascontiguousarray(ltw.imag, dtype=np.float32))
+    lspec = pl.BlockSpec((m, r), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    tw_specs.extend([lspec, lspec])
+
+    kernel = _make_ksplit2_kernel(n, m, r, mplan.stages, last, backward)
+    out_spec = pl.BlockSpec((n, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
+
+    def call(re, im):
+        b = re.shape[-1]
+        nb = b // tb
+        grid = (nb,)
+        view_specs = []
+        for c in range(r):
+            view_specs.append(pl.BlockSpec(
+                (m, tb), lambda j, c=c: (0, c * nb + j),
+                memory_space=pltpu.VMEM))
+        re2 = re.reshape(m, r * b)   # free: row q, lane c*b + b'
+        im2 = im.reshape(m, r * b)
+        out_shape = [
+            jax.ShapeDtypeStruct((n, b), jnp.float32),
+            jax.ShapeDtypeStruct((n, b), jnp.float32),
+        ]
+        flops = int(8 * n * _math.log2(max(n, 2)) * b)
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(_pk.VMEM_LIMIT))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[*tw_specs, *(view_specs * 2)],
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            scratch_shapes=[pltpu.VMEM((m, r * tb), jnp.float32)] * 4,
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=4 * 4 * n * b, transcendentals=0),
+            **params,
+        )(*[jnp.asarray(t) for t in tw_inputs],
+          *([re2] * r), *([im2] * r))
+
+    return call
+
+
+def cfft_ksplit2_tmajor(
+    plan: _plan.Plan,
+    re: jax.Array,
+    im: jax.Array,
+    *,
+    backward: bool = False,
+    interpret: bool = False,
+    conf: Optional[Tuple[int, int]] = None,
+    tb: int = 128,
+):
+    """Single-pass in-kernel ksplit complex FFT, time-major [N, B] planes.
+
+    Unscaled, canonical bin order (see the ksplit2 block comment)."""
+
+    n = plan.engine_n
+    m, r = conf if conf is not None else (2048, n // 2048)
+    if m * r != n:
+        raise ValueError(f"ksplit2 conf {m}*{r} != {n}")
+    b = re.shape[-1]
+    if b % tb:
+        raise ValueError(f"batch {b} must be a multiple of tile {tb}")
+    call = _build_ksplit2(n, m, r, tb, backward, interpret)
+    if call is None:
+        raise ValueError(f"no ksplit2 build for N={n} (m={m}, r={r})")
+    return call(re, im)
+
+
 def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[str, ...]:
     out = ["xla"]
     if (

@@ -40,7 +40,9 @@ def main():
         ("scr100", dict(scratch=True)),
         ("arb127", dict(scratch=True, vmem_limit=lim127, arbitrary_grid=True)),
     ]
-    cases = [(1024, 2048), (2048, 1024), (4096, 512), (8192, 256), (16384, 128)]
+    # 16384/tb128 (0/5 attempts, vmem2+scratch) and 8192/tb256 (0/3+) are
+    # dropped: failing compiles cost ~10 min each on this service
+    cases = [(4096, 512), (2048, 1024), (1024, 2048)]
     for n, tb in cases:
         f = pk.thin_factors(n, radix16=True)
         plan = pf.new_setup(n, pf.COMPLEX, factors=f, strict=False)
