@@ -69,50 +69,32 @@ def _complex_transform(p: Plan, x: jax.Array, backward: bool, ordered: bool) -> 
     return _stages.cfft_plan(x, p, backward=backward, ordered=ordered)
 
 
-def _use_real_kernel(p: Plan, lead_shape) -> bool:
-    """Route the split step through the one-pass Pallas kernel
-    (ops/real_kernel.py) at large H on TPU: the jnp composition costs ~5
-    HBM passes there because XLA does not fuse the Hermitian mirror into
-    the combine (real_anatomy_r4.txt: split step = 70% of the engine's
-    own time at N=2^20-2^21)."""
+def _use_flat_split(p: Plan) -> bool:
+    """Use the flat-FMA split step on TPU: the classic e/o composition
+    costs ~5 HBM passes there (real_anatomy_r4.txt — XLA does not fuse
+    the Hermitian mirror into the combine, and the bin0 slice+concat is
+    a full extra pass).  The one-pass Pallas split kernel
+    (ops/real_kernel.py) is blocked on this backend: `rev` does not
+    lower in Mosaic (probed round 4, /tmp probe archived in
+    realkernel_r4.txt), so the flat jnp form — one flip pass + one fused
+    FMA pass — is the shipped large-N route."""
 
-    from .ops import real_kernel as _rk
-
-    if p.dtype != np.float32 or jax.default_backend() != "tpu":
-        return False
-    b = int(np.prod(lead_shape)) if lead_shape else 1
-    return _rk.supported_shape(b, p.n // 2)
+    return jax.default_backend() == "tpu"
 
 
 def _real_forward_planar(p: Plan, x: jax.Array) -> "tuple[jax.Array, jax.Array]":
     zr, zi = _split.pack_real_input_split(x.astype(p.dtype.type))
     zr, zi = _dispatch.cfft_dispatch(p, zr, zi, backward=False)
-    if _use_real_kernel(p, zr.shape[:-1]):
-        from .ops import real_kernel as _rk
-
-        lead = zr.shape[:-1]
-        h = zr.shape[-1]
-        sr, si = _rk.real_split_pallas(
-            zr.reshape(-1, h), zi.reshape(-1, h), p.real_twiddle
-        )
-        return sr.reshape(*lead, h), si.reshape(*lead, h)
+    if _use_flat_split(p):
+        return _split.real_forward_split_planar_flat(zr, zi, p.real_twiddle)
     return _split.real_forward_split_planar(zr, zi, p.real_twiddle)
 
 
 def _real_backward_planar(p: Plan, sr: jax.Array, si: jax.Array) -> jax.Array:
     sr = sr.astype(p.dtype.type)
     si = si.astype(p.dtype.type)
-    if _use_real_kernel(p, sr.shape[:-1]):
-        from .ops import real_kernel as _rk
-
-        lead = sr.shape[:-1]
-        h = sr.shape[-1]
-        zr, zi = _rk.real_split_pallas(
-            sr.reshape(-1, h), si.reshape(-1, h), p.real_twiddle,
-            backward=True,
-        )
-        zr = zr.reshape(*lead, h)
-        zi = zi.reshape(*lead, h)
+    if _use_flat_split(p):
+        zr, zi = _split.real_backward_split_planar_flat(sr, si, p.real_twiddle)
     else:
         zr, zi = _split.real_backward_split_planar(sr, si, p.real_twiddle)
     wr, wi = _dispatch.cfft_dispatch(p, zr, zi, backward=True)
@@ -319,9 +301,15 @@ def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
     half-length complex engine with axis-0 pack/split steps."""
 
     if plan.is_real:
+        flat = _use_flat_split(plan)
         if backward:
             def fn(sr, si):
-                zr, zi = _split.real_backward_split_planar_tmajor(
+                bwd = (
+                    _split.real_backward_split_planar_tmajor_flat
+                    if flat
+                    else _split.real_backward_split_planar_tmajor
+                )
+                zr, zi = bwd(
                     sr.astype(plan.dtype.type), si.astype(plan.dtype.type),
                     plan.real_twiddle,
                 )
@@ -339,9 +327,12 @@ def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
                 zr, zi = _dispatch.cfft_dispatch(
                     plan, zr, zi, backward=False, time_major=True
                 )
-                return _split.real_forward_split_planar_tmajor(
-                    zr, zi, plan.real_twiddle
+                fwd = (
+                    _split.real_forward_split_planar_tmajor_flat
+                    if flat
+                    else _split.real_forward_split_planar_tmajor
                 )
+                return fwd(zr, zi, plan.real_twiddle)
         return jax.jit(fn)
 
     def fn(re, im):

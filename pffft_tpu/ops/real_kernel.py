@@ -8,6 +8,15 @@ mirror (a flip) into the elementwise combine, and the composed jnp split
 step measures ~5 HBM passes (real_anatomy_r4.txt: 0.093 SoL at N=2^20-21
 — the post-step costs 70% of the half-length engine itself).
 
+**Backend status (round 4):** BLOCKED on the axon TPU service — Mosaic's
+TPU lowering has no `rev` primitive (probed: both lane and sublane
+reversal fail with "Unimplemented primitive ... rev"; `pltpu.roll` and
+offset lane slices DO lower), so the in-VMEM mirror reversal below
+cannot compile on hardware.  The kernel stays interpret-validated as the
+design record; production routes the flat-FMA jnp split step instead
+(ops/split.py real_*_flat — one flip pass + one fused FMA pass,
+fft.py:_use_flat_split).
+
 This kernel does the whole step in one pass.  The Hermitian pairing
 k <-> (H - k) mod H is block-misaligned by exactly one column, so each
 grid step reads THREE views of each input plane — its own block j plus

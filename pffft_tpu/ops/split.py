@@ -855,6 +855,70 @@ def _reverse_conj_split(zr: jax.Array, zi: jax.Array) -> SplitPair:
     )
 
 
+def _bin0_mask(h: int, dtype) -> jax.Array:
+    m = np.zeros((h,), dtype=np.float32)
+    m[0] = 1.0
+    return jnp.asarray(m, dtype=dtype)
+
+
+def real_forward_split_planar_flat(zr, zi, real_twiddle: np.ndarray) -> SplitPair:
+    """Flat-FMA form of :func:`real_forward_split_planar` (same math).
+
+    The classic e/o composition materializes intermediates XLA refuses
+    to fuse past the flip, and the bin0 slice+concat is a full extra
+    pass (real_anatomy_r4.txt: the jnp split step costs ~5 HBM passes).
+    Expanding x = e + w*o into four FMA coefficients per plane and
+    handling bin0 with a where-mask leaves: one flip pass + one fused
+    elementwise pass.
+
+        xr =  A*zr + B*zi + C*fr + B*fi
+        xi = -B*zr + A*zi + B*fr - C*fi
+        A = (1+wi)/2, B = wr/2, C = (1-wi)/2;  f = roll-flip(z)
+    """
+
+    twr, twi = _split_real_tw(real_twiddle)
+    wr = jnp.asarray(twr, dtype=zr.dtype)
+    wi = jnp.asarray(twi, dtype=zr.dtype)
+    a = 0.5 * (1.0 + wi)
+    b = 0.5 * wr
+    c = 0.5 * (1.0 - wi)
+    fr, nfi = _reverse_conj_split(zr, zi)
+    fi = -nfi  # fi[k] = zi[(H-k) mod H]
+    xr = a * zr + b * zi + c * fr + b * fi
+    xi = -b * zr + a * zi + b * fr - c * fi
+    m = _bin0_mask(zr.shape[-1], zr.dtype)
+    xr = (1.0 - m) * xr + m * (zr + zi)
+    xi = (1.0 - m) * xi + m * (zr - zi)
+    return xr, xi
+
+
+def real_backward_split_planar_flat(sr, si, real_twiddle: np.ndarray) -> SplitPair:
+    """Flat-FMA form of :func:`real_backward_split_planar` (returns 2*Z).
+
+        zr = P*xar - R*xai + Q*xbr - R*xbi
+        zi = R*xar + P*xai - R*xbr - Q'*xbi
+        P = 1+wi, Q = 1-wi, R = wr, Q' = 1-wi ... with
+        xa = (sr, si*(1-m)), xb = ((1-m)*fsr + m*si, (1-m)*fsi)
+    """
+
+    twr, twi = _split_real_tw(real_twiddle)
+    wr = jnp.asarray(twr, dtype=sr.dtype)
+    wi = jnp.asarray(twi, dtype=sr.dtype)
+    m = _bin0_mask(sr.shape[-1], sr.dtype)
+    fsr, nfsi = _reverse_conj_split(sr, si)
+    fsi = -nfsi
+    xar = sr
+    xai = (1.0 - m) * si
+    xbr = (1.0 - m) * fsr + m * si
+    xbi = (1.0 - m) * fsi
+    p = 1.0 + wi
+    q = 1.0 - wi
+    r = wr
+    zr = p * xar - r * xai + q * xbr - r * xbi
+    zi = r * xar + p * xai - r * xbr + (wi - 1.0) * xbi
+    return zr, zi
+
+
 def pack_real_input_split(x: jax.Array) -> SplitPair:
     """[..., N] real -> planar [..., N/2]: z[m] = x[2m] + i x[2m+1]."""
 
@@ -982,6 +1046,46 @@ def real_backward_split_planar_tmajor(sr, si, real_twiddle: np.ndarray) -> Split
     orr = wr * dr + wi * di
     oi = wr * di - wi * dr
     return er - oi, ei + orr
+
+
+def real_forward_split_planar_tmajor_flat(zr, zi, real_twiddle) -> SplitPair:
+    """Time-major mirror of :func:`real_forward_split_planar_flat`."""
+
+    twr, twi = _split_real_tw(real_twiddle)
+    wr = jnp.asarray(twr, dtype=zr.dtype)[:, None]
+    wi = jnp.asarray(twi, dtype=zr.dtype)[:, None]
+    a = 0.5 * (1.0 + wi)
+    b = 0.5 * wr
+    c = 0.5 * (1.0 - wi)
+    fr, nfi = _reverse_conj_split_tmajor(zr, zi)
+    fi = -nfi
+    xr = a * zr + b * zi + c * fr + b * fi
+    xi = -b * zr + a * zi + b * fr - c * fi
+    m = _bin0_mask(zr.shape[0], zr.dtype)[:, None]
+    xr = (1.0 - m) * xr + m * (zr + zi)
+    xi = (1.0 - m) * xi + m * (zr - zi)
+    return xr, xi
+
+
+def real_backward_split_planar_tmajor_flat(sr, si, real_twiddle) -> SplitPair:
+    """Time-major mirror of :func:`real_backward_split_planar_flat`."""
+
+    twr, twi = _split_real_tw(real_twiddle)
+    wr = jnp.asarray(twr, dtype=sr.dtype)[:, None]
+    wi = jnp.asarray(twi, dtype=sr.dtype)[:, None]
+    m = _bin0_mask(sr.shape[0], sr.dtype)[:, None]
+    fsr, nfsi = _reverse_conj_split_tmajor(sr, si)
+    fsi = -nfsi
+    xar = sr
+    xai = (1.0 - m) * si
+    xbr = (1.0 - m) * fsr + m * si
+    xbi = (1.0 - m) * fsi
+    p = 1.0 + wi
+    q = 1.0 - wi
+    r = wr
+    zr = p * xar - r * xai + q * xbr - r * xbi
+    zi = r * xar + p * xai - r * xbr + (wi - 1.0) * xbi
+    return zr, zi
 
 
 def interleave_to_real_split_tmajor(wr: jax.Array, wi: jax.Array) -> jax.Array:

@@ -32,11 +32,45 @@ def test_split_kernel_matches_jnp_composition(n, b):
         assert err <= 2e-6 * max(1.0, scale), (backward, err)
 
 
-def test_routed_real_transform_with_kernel(monkeypatch):
-    """Force the fft.py route through the kernel (interpret on CPU): the
-    full real forward/backward must still match numpy and round-trip."""
+def test_flat_split_forms_match_classic():
+    """The flat-FMA split forms (the shipped TPU route after Mosaic's
+    missing `rev` blocked the one-pass kernel) == the classic e/o
+    composition, both layouts and directions."""
 
-    monkeypatch.setattr(pff, "_use_real_kernel", lambda p, lead: True)
+    rng = np.random.default_rng(3)
+    n = 1 << 12
+    h = n // 2
+    plan = pf.new_setup(n, pf.REAL)
+    tw = plan.real_twiddle
+    zr = jnp.asarray(rng.standard_normal((3, h)).astype(np.float32))
+    zi = jnp.asarray(rng.standard_normal((3, h)).astype(np.float32))
+    for cls, flat in (
+        (sp.real_forward_split_planar, sp.real_forward_split_planar_flat),
+        (sp.real_backward_split_planar, sp.real_backward_split_planar_flat),
+    ):
+        r1, i1 = cls(zr, zi, tw)
+        r2, i2 = flat(zr, zi, tw)
+        e = max(float(jnp.abs(r1 - r2).max()), float(jnp.abs(i1 - i2).max()))
+        assert e < 2e-5 * max(1.0, float(jnp.abs(r1).max()))
+    trt, tit = zr.T.copy(), zi.T.copy()
+    for cls, flat in (
+        (sp.real_forward_split_planar_tmajor,
+         sp.real_forward_split_planar_tmajor_flat),
+        (sp.real_backward_split_planar_tmajor,
+         sp.real_backward_split_planar_tmajor_flat),
+    ):
+        r1, i1 = cls(trt, tit, tw)
+        r2, i2 = flat(trt, tit, tw)
+        e = max(float(jnp.abs(r1 - r2).max()), float(jnp.abs(i1 - i2).max()))
+        assert e < 2e-5 * max(1.0, float(jnp.abs(r1).max()))
+
+
+def test_routed_real_transform_with_flat_split(monkeypatch):
+    """Force the fft.py route through the flat split step (the TPU
+    route): the full real forward/backward must still match numpy and
+    round-trip."""
+
+    monkeypatch.setattr(pff, "_use_flat_split", lambda p: True)
     n, b = 1 << 15, 4
     plan = pf.new_setup(n, pf.REAL)
     rng = np.random.default_rng(5)
