@@ -535,7 +535,12 @@ def conv_kernel_choice(
     plan = _thin_plan(nfft)
     if plan is None or cols < 1:
         return None
-    cands = _pk.tb_candidates(nfft)
+    # wall tiles (n*tb past the pipelined-grid envelope) are excluded:
+    # the conv kernel's DOUBLED fwd+bwd chain is unmeasured there
+    cands = [t for t in _pk.tb_candidates(nfft)
+             if not _pk.is_wall_tile(nfft, t)]
+    if not cands:
+        return None
     for tb in cands:
         if (-cols) % tb <= cols // 3:
             return plan, tb

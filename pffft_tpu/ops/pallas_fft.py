@@ -71,7 +71,13 @@ _TB_PREF = {
     512: (384, 256, 128),
     1024: (1024, 512, 256, 128),
     2048: (512, 256, 128),
-    4096: (256, 128),
+    # tb=512 is a WALL tile (2M elements): ships in the arb127 config
+    # (wall_r4.txt: 2/2 compiles, 0.477 med SoL plateau vs 0.331 at 256),
+    # protected by the fft.py compile-retry fallback.  The other wall
+    # tiles measured worse than their safe neighbours (1024/tb2048:
+    # 0.70 vs 0.77; 2048/tb1024: 0.71 vs 0.67 — inside noise) and are
+    # not listed.
+    4096: (512, 256, 128),
     8192: (128,),
 }
 # For unmeasured lengths: largest lane-tile multiple with n*tb inside the
@@ -426,6 +432,17 @@ def thin_factors(n: int, radix16: bool = True) -> Tuple[int, ...] | None:
 # *uses* what its dataflow needs, the limit is a compile-time gate.
 VMEM_LIMIT = 100 * 1024 * 1024
 
+# Wall tiles (n*tb above the pipelined-grid envelope _SAFE_ELEMS) compile
+# RELIABLY only with dimension_semantics=('arbitrary',) — no grid I/O
+# double-buffering — and the limit at 127 MB (wall_r4.txt: scr100 0/2,
+# arb127 2/2 at 4096/tb512 and 2048/tb1024; 4096/tb512 then measures
+# 0.477 med SoL at the plateau vs 0.331 for tb256).
+WALL_VMEM_LIMIT = 127 * 1024 * 1024
+
+
+def is_wall_tile(n: int, tb: int) -> bool:
+    return n * tb > _SAFE_ELEMS
+
 
 @functools.lru_cache(maxsize=256)
 def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool,
@@ -520,6 +537,13 @@ def cfft_pallas_tmajor(
         raise ValueError(f"batch {b} must be a multiple of tile {tb}")
     if inner and tb % inner:
         raise ValueError(f"tile {tb} must be a multiple of inner chunk {inner}")
+    if is_wall_tile(n, tb):
+        # the reliable wall config (wall_r4.txt): no grid double-buffer,
+        # limit at 127 MB, scratch chain
+        arbitrary_grid = True
+        scratch = True
+        if vmem_limit == VMEM_LIMIT:
+            vmem_limit = WALL_VMEM_LIMIT
     call = _build(plan, backward, tb, interpret, inner, vmem_limit, scratch,
                   arbitrary_grid)
     return call(re, im)

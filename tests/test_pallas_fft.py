@@ -173,7 +173,7 @@ def test_tb_policy():
     # tiles across the band — the compile ceiling is n*tb <= 1M elements
     assert pk.tb_candidates(1024)[0] == 1024
     assert pk.tb_candidates(2048)[0] == 512
-    assert pk.tb_candidates(4096)[0] == 256
+    assert pk.tb_candidates(4096)[0] == 512  # wall tile, arb127 config
     assert pk.tb_candidates(8192) == (128,)
     assert pk.best_tb(256, 4096) == 1024
     assert pk.best_tb(256, 512) == 512       # fallback down the list
