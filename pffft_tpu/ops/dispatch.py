@@ -462,6 +462,12 @@ _TABLE_VERSION = 0
 # multiply) still wins on layout alone: nfft=1024 6.5 vs 2.2 Gsamp/s
 # (3.0x — the FFT kernel carries it), nfft=2048 4.2 vs 2.2 (1.9x with
 # XLA engines on both sides).  Values: 'fused'/True, 'tmajor', falsy.
+# Round 4 (convkernel_r4.txt): the scratch chain + VMEM-limit raise make
+# the fused kernel COMPILE at nfft=1024-4096, but it only TIES the
+# composed tmajor route there (3.61/3.44/3.07 vs 3.46/3.29/3.15
+# Gsamp/s, margins ~1.05x << the 1.5x gate) — at these lengths both are
+# engine-pass-bound, so the in-kernel Hf multiply saves little.  The
+# table keeps 'tmajor' at >=1024 (no route change without a margin).
 _CONV_TABLE: dict = {
     ("tpu", 64): True,
     ("tpu", 128): True,
