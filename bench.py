@@ -95,6 +95,14 @@ def main():
     k1, k2 = (2, 10) if quick else (4, 40)
 
     def measure(name, n, batch, fn, data):
+        # EAGER warmup first: the wall-tile compile-retry fallback
+        # (fft.py:_call_tmajor_fallback) only catches remote-compile
+        # errors when the transform executes eagerly — under bench_op's
+        # outer jit the inner call inlines and an unlucky wall-tile
+        # failure would crash the whole driver bench.  One eager call
+        # resolves the tile (recording any failure) before timing.
+        out = fn(*data)
+        jax.block_until_ready(out)
         trials = []
         while len(trials) < max_trials:
             trials.append(bench_op(fn, data, k1=k1, k2=k2))

@@ -228,6 +228,9 @@ def main():
                         sr, si = pf.fft.transform_ordered_split(p, v, pf.FORWARD)
                         return (pf.fft.transform_ordered_split(p, (sr, si), pf.BACKWARD),)
 
+                # eager warmup: lets the wall-tile compile-retry fallback
+                # (fft.py) resolve tiles before bench_op's outer jit
+                jax.block_until_ready(step(x))
                 tc0 = time.perf_counter()
                 ts = [bench_op(step, (x,)) / 2.0 for _ in range(trials)]
                 compile_s = time.perf_counter() - tc0 - 2 * sum(ts)
@@ -245,6 +248,7 @@ def main():
                     re = jnp.asarray(znp.real.copy())
                     im = jnp.asarray(znp.imag.copy())
                     step = lambda r, i, p=plan: pf.fft.transform_ordered_split(p, (r, i), pf.FORWARD)
+                jax.block_until_ready(step(re, im))
                 tc0 = time.perf_counter()
                 ts = [bench_op(step, (re, im)) for _ in range(trials)]
                 compile_s = time.perf_counter() - tc0 - sum(ts)
