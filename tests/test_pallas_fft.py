@@ -496,3 +496,26 @@ def test_use_scratch_policy():
     assert pk.use_scratch(8192, 128)  # unrolled cannot compile there
     assert pk.use_scratch(6000, 256)  # unmeasured past the r3 envelope
     assert not pk.use_scratch(192, 128)  # small tiles keep the r3 form
+
+
+def test_ksplit2_in_kernel_combine_matches_numpy():
+    """The in-kernel-combine hybrid (dispatch.cfft_ksplit2_tmajor,
+    measured-not-adopted — ksplit2_r4.txt) must stay correct: lane-concat
+    sub-FFT chain + lane-sliced twiddled combine, one HBM pass."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    rng = _rng(41)
+    n, b = 4096, 256
+    plan = pf.new_setup(n, pf.COMPLEX)
+    re = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
+    for conf in ((2048, 2), (1024, 4)):
+        sr, si = dp.cfft_ksplit2_tmajor(
+            plan, re, im, conf=conf, interpret=True)
+        got = (np.asarray(sr[:, :2]).astype(np.float64)
+               + 1j * np.asarray(si[:, :2]))
+        ref = np.fft.fft(
+            np.asarray(re[:, :2]).astype(np.float64)
+            + 1j * np.asarray(im[:, :2]), axis=0)
+        assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
