@@ -125,7 +125,8 @@ def main():
         rate_fp = jnp.asarray(np.uint32(round(0.123 * (1 << 32)) & 0xFFFFFFFF))
 
         def cic_step(r, i, d=ddc, s=cst, rf=rate_fp):
-            (yr, yi), _ = d._apply_impl(s, r, i, rf, jnp.float32(1.0))
+            (yr, yi), _ = d._apply_impl(
+                s, r, i, rf, jnp.float32(1.0), d.block_w)
             # shape-preserving wrap for loop chaining
             return jnp.concatenate([yr, r[yr.shape[0]:]]), jnp.concatenate([yi, i[yi.shape[0]:]])
 
