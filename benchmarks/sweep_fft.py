@@ -103,12 +103,18 @@ def _competitors(kind, n, batch, xnp, znp, backend):
     # on the axon TPU runtime, so this column is expected to be None there).
     # bench_op chains iterations, so the step must be carry-type-preserving:
     # cplx uses fft directly; real times an rfft+irfft pair and halves.
+    # NOTE: on the axon backend a complex device_put doesn't just fail —
+    # it POISONS the runtime stream so the NEXT (float!) transfer dies
+    # UNIMPLEMENTED (both r4 cplx sweep crashes happened at the row after
+    # the first --compare call).  Never attempt the complex column there.
     try:
         import jax
         import jax.numpy as jnp
 
         from timing import bench_op
 
+        if kind == "cplx" and jax.default_backend() == "tpu":
+            raise RuntimeError("complex device_put corrupts the axon stream")
         if kind == "real":
             xd = jnp.asarray(xnp)
             t = bench_op(
