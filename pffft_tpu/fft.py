@@ -83,7 +83,12 @@ def _use_flat_split(p: Plan) -> bool:
 
 
 def _real_forward_planar(p: Plan, x: jax.Array) -> "tuple[jax.Array, jax.Array]":
-    zr, zi = _split.pack_real_input_split(x.astype(p.dtype.type))
+    pack = (
+        _split.pack_real_input_split_mxu
+        if _use_flat_split(p)
+        else _split.pack_real_input_split
+    )
+    zr, zi = pack(x.astype(p.dtype.type))
     zr, zi = _dispatch.cfft_dispatch(p, zr, zi, backward=False)
     if _use_flat_split(p):
         return _split.real_forward_split_planar_flat(zr, zi, p.real_twiddle)
@@ -98,7 +103,12 @@ def _real_backward_planar(p: Plan, sr: jax.Array, si: jax.Array) -> jax.Array:
     else:
         zr, zi = _split.real_backward_split_planar(sr, si, p.real_twiddle)
     wr, wi = _dispatch.cfft_dispatch(p, zr, zi, backward=True)
-    return _split.interleave_to_real_split(wr, wi).astype(p.dtype.type)
+    inter = (
+        _split.interleave_to_real_split_mxu
+        if _use_flat_split(p)
+        else _split.interleave_to_real_split
+    )
+    return inter(wr, wi).astype(p.dtype.type)
 
 
 def _real_forward(p: Plan, x: jax.Array) -> jax.Array:
