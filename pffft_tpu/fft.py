@@ -82,10 +82,22 @@ def _use_flat_split(p: Plan) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _mxu_pack_shape(p: Plan, lead_shape) -> bool:
+    """The identity-einsum conversions win only at TINY batch with huge H
+    (pack_r4.txt: 1.9x at B=8/N=2^21, 1.9x WORSE at B=128/N=2^20) — the
+    MXU staging of a tall-skinny [B, H, 2] operand beats the strided
+    slices only when the sublane dim is under ~2 tiles."""
+
+    b = 1
+    for d in lead_shape:
+        b *= int(d)
+    return b <= 16
+
+
 def _real_forward_planar(p: Plan, x: jax.Array) -> "tuple[jax.Array, jax.Array]":
     pack = (
         _split.pack_real_input_split_mxu
-        if _use_flat_split(p)
+        if _use_flat_split(p) and _mxu_pack_shape(p, x.shape[:-1])
         else _split.pack_real_input_split
     )
     zr, zi = pack(x.astype(p.dtype.type))
@@ -105,7 +117,7 @@ def _real_backward_planar(p: Plan, sr: jax.Array, si: jax.Array) -> jax.Array:
     wr, wi = _dispatch.cfft_dispatch(p, zr, zi, backward=True)
     inter = (
         _split.interleave_to_real_split_mxu
-        if _use_flat_split(p)
+        if _use_flat_split(p) and _mxu_pack_shape(p, wr.shape[:-1])
         else _split.interleave_to_real_split
     )
     return inter(wr, wi).astype(p.dtype.type)
