@@ -94,13 +94,33 @@ def _mxu_pack_shape(p: Plan, lead_shape) -> bool:
     return b <= 16
 
 
+def _use_fold(p: Plan, batch: int) -> bool:
+    """Fold the interleaved<->planar conversion into the first/last
+    stage contraction (ops/split.real_chain_*_folded) — the conversions
+    cost ~65% of the real transform at production geometries
+    (real_anatomy2/3_r4).  Chain plans on the plain batch-major XLA
+    engine only; other engines/strategies keep the composed path."""
+
+    return (
+        _use_flat_split(p)
+        and p.local_split is None
+        and len([s for s in p.stages if s.r > 1]) >= 1
+        and _dispatch.select_engine(p, batch, False) == "xla"
+    )
+
+
 def _real_forward_planar(p: Plan, x: jax.Array) -> "tuple[jax.Array, jax.Array]":
+    x = x.astype(p.dtype.type)
+    b = int(np.prod(x.shape[:-1])) if x.shape[:-1] else 1
+    if _use_fold(p, b):
+        zr, zi = _split.real_chain_fwd_folded(x, p.stages)
+        return _split.real_forward_split_planar_flat(zr, zi, p.real_twiddle)
     pack = (
         _split.pack_real_input_split_mxu
         if _use_flat_split(p) and _mxu_pack_shape(p, x.shape[:-1])
         else _split.pack_real_input_split
     )
-    zr, zi = pack(x.astype(p.dtype.type))
+    zr, zi = pack(x)
     zr, zi = _dispatch.cfft_dispatch(p, zr, zi, backward=False)
     if _use_flat_split(p):
         return _split.real_forward_split_planar_flat(zr, zi, p.real_twiddle)
@@ -114,6 +134,11 @@ def _real_backward_planar(p: Plan, sr: jax.Array, si: jax.Array) -> jax.Array:
         zr, zi = _split.real_backward_split_planar_flat(sr, si, p.real_twiddle)
     else:
         zr, zi = _split.real_backward_split_planar(sr, si, p.real_twiddle)
+    b = int(np.prod(sr.shape[:-1])) if sr.shape[:-1] else 1
+    if _use_fold(p, b):
+        return _split.real_chain_bwd_folded(zr, zi, p.stages).astype(
+            p.dtype.type
+        )
     wr, wi = _dispatch.cfft_dispatch(p, zr, zi, backward=True)
     inter = (
         _split.interleave_to_real_split_mxu

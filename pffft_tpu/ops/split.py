@@ -928,6 +928,103 @@ def pack_real_input_split(x: jax.Array) -> SplitPair:
     return xz[..., 0], xz[..., 1]
 
 
+def real_chain_fwd_folded(x: jax.Array, stages) -> SplitPair:
+    """Half-length complex chain with the DE-INTERLEAVE folded into the
+    first stage's contraction: [..., N=2H] real -> [..., H] planes.
+
+    The interleaved->planar conversion costs ~65% of the real transform
+    at production geometries (real_anatomy2/3_r4 — the strided minor-2
+    reads serialize and the engine re-reads force materialization).
+    Here the first stage reads x.reshape(b, r, m, 2) ONCE through a
+    single [r*2 -> 2t] concat-style contraction (M carries both the
+    re/im selector and the DFT matrix), so no packed planes ever hit
+    HBM.  Numerics = the concat cmul mode (>=150 dB measured)."""
+
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    b = int(np.prod(lead)) if lead else 1
+    active = [st for st in stages if st.r > 1]
+    st0 = active[0]
+    assert st0.l == 1, "first stage must open the chain"
+    r0, m0 = st0.r, st0.m
+    c0 = _stage_consts(st0, False)
+    dr, di = c0[0], c0[1]  # [r, t]
+    t0 = dr.shape[1]
+    m = np.zeros((r0, 2, 2 * t0), dtype=dr.dtype)
+    m[:, 0, :t0] = dr   # zr -> yr
+    m[:, 1, :t0] = -di  # zi -> yr
+    m[:, 0, t0:] = di   # zr -> yi
+    m[:, 1, t0:] = dr   # zi -> yi
+    x6 = x.reshape(b, r0, m0, 2)
+    y = jnp.einsum(
+        "brmc,rcu->bum", x6, jnp.asarray(m, dtype=x.dtype),
+        precision=_PRECISION,
+    )
+    ar = y[:, :t0].reshape(b, t0, m0)
+    ai = y[:, t0:].reshape(b, t0, m0)
+    h = n // 2
+    # remaining stages: the standard ordered chain loop
+    for st in active[1:]:
+        l, r, mm = st.l, st.r, st.m
+        consts = _stage_consts(st, False)
+        ar = ar.reshape(b, l, r, mm)
+        ai = ai.reshape(b, l, r, mm)
+        ar, ai = _apply_twiddle(ar, ai, consts[4], 1)
+        if _STAGE_BARRIER:
+            ar, ai = jax.lax.optimization_barrier((ar, ai))
+        nr, ni = _contract_stage(ar, ai, consts, "blrm,rt->btlm")
+        ar, ai = nr.reshape(b, l * r, mm), ni.reshape(b, l * r, mm)
+    return ar.reshape(*lead, h), ai.reshape(*lead, h)
+
+
+def real_chain_bwd_folded(zr: jax.Array, zi: jax.Array, stages) -> jax.Array:
+    """Backward half-length chain with the INTERLEAVE folded into the
+    last stage: [..., H] planes -> [..., N=2H] real.
+
+    The final contraction emits [b, t, l, m, 2] directly (the re/im
+    selector rides the output axis of two summed einsums), so the
+    planar->interleaved conversion never materializes separately —
+    its relayout fuses into the contraction's output write."""
+
+    lead = zr.shape[:-1]
+    h = zr.shape[-1]
+    b = int(np.prod(lead)) if lead else 1
+    active = [st for st in stages if st.r > 1]
+    ar = zr.reshape(b, 1, h)
+    ai = zi.reshape(b, 1, h)
+    for st in active[:-1]:
+        l, r, mm = st.l, st.r, st.m
+        consts = _stage_consts(st, True)
+        ar = ar.reshape(b, l, r, mm)
+        ai = ai.reshape(b, l, r, mm)
+        if l > 1:
+            ar, ai = _apply_twiddle(ar, ai, consts[4], 1)
+            if _STAGE_BARRIER:
+                ar, ai = jax.lax.optimization_barrier((ar, ai))
+        nr, ni = _contract_stage(ar, ai, consts, "blrm,rt->btlm")
+        ar, ai = nr.reshape(b, l * r, mm), ni.reshape(b, l * r, mm)
+    st = active[-1]
+    l, r, mm = st.l, st.r, st.m
+    consts = _stage_consts(st, True)
+    ar = ar.reshape(b, l, r, mm)
+    ai = ai.reshape(b, l, r, mm)
+    if l > 1:
+        ar, ai = _apply_twiddle(ar, ai, consts[4], 1)
+        if _STAGE_BARRIER:
+            ar, ai = jax.lax.optimization_barrier((ar, ai))
+    dr, di = consts[0], consts[1]  # already conjugated (backward)
+    t = dr.shape[1]
+    # M_a[r, t, c]: ar -> (wr, wi); M_b: ai -> (wr, wi)
+    ma = np.stack([dr, di], axis=-1)    # ar@dr -> wr ; ar@di -> wi
+    mb = np.stack([-di, dr], axis=-1)   # -ai@di -> wr ; ai@dr -> wi
+    y = jnp.einsum("blrm,rtc->btlmc", ar, jnp.asarray(ma, dtype=ar.dtype),
+                   precision=_PRECISION)
+    y = y + jnp.einsum("blrm,rtc->btlmc", ai,
+                       jnp.asarray(mb, dtype=ai.dtype),
+                       precision=_PRECISION)
+    return y.reshape(*lead, 2 * h)
+
+
 def pack_real_input_split_mxu(x: jax.Array) -> SplitPair:
     """De-interleave via an identity-pair einsum (TPU route).
 

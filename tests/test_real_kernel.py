@@ -94,3 +94,33 @@ def test_pick_blocks_policy():
     bt, hb = rk.pick_blocks(128, 1 << 15)
     assert 128 % bt == 0 and bt * hb <= (1 << 18)
     assert rk.pick_blocks(7, 1 << 15)[0] == 1       # odd batch: bt=1
+
+
+def test_folded_real_chain_matches_composed(monkeypatch):
+    """The fold (de-interleave into stage 1, interleave into the last
+    backward stage) must reproduce the composed pack->engine->split path
+    exactly through the public API (forced on: the fold is the TPU
+    route, real_anatomy2/3_r4)."""
+
+    import pffft_tpu.ops.dispatch as dp
+
+    rng = np.random.default_rng(7)
+    for n in (256, 1 << 14):
+        plan = pf.new_setup(n, pf.REAL)
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        sr0, si0 = pf.fft.transform_ordered_split(plan, jnp.asarray(x))
+        monkeypatch.setattr(pff, "_use_flat_split", lambda p: True)
+        monkeypatch.setattr(
+            pff, "_use_fold",
+            lambda p, b: p.local_split is None
+            and dp.select_engine(p, b, False) == "xla",
+        )
+        sr1, si1 = pf.fft.transform_ordered_split(
+            plan, jnp.asarray(x), pf.FORWARD
+        )
+        scale = float(jnp.abs(sr0).max())
+        assert float(jnp.abs(sr1 - sr0).max()) < 3e-6 * scale
+        assert float(jnp.abs(si1 - si0).max()) < 3e-6 * scale
+        back = pf.fft.transform_ordered_split(plan, (sr1, si1), pf.BACKWARD)
+        assert np.abs(np.asarray(back) / n - x).max() < 1e-5
+        monkeypatch.undo()
