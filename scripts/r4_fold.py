@@ -37,12 +37,16 @@ def main():
         plan = pf.new_setup(n, pf.REAL)
         x = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
 
-        def pair(v, p=plan):
-            sr, si = pff.transform_ordered_split(p, v, pf.FORWARD)
-            return (pff.transform_ordered_split(p, (sr, si), pf.BACKWARD) / n,)
+        def make_pair():
+            def pair(v, p=plan):
+                sr, si = pff.transform_ordered_split(p, v, pf.FORWARD)
+                return (
+                    pff.transform_ordered_split(p, (sr, si), pf.BACKWARD) / n,
+                )
+            return pair
 
         # correctness + roundtrip through the shipped (folded) route
-        (y,) = jax.jit(pair)(x)
+        (y,) = jax.jit(make_pair())(x)
         err = float(jnp.abs(y - x).max())
         print(f"N={n} B={b}: fold roundtrip err {err:.2e} "
               f"(fold={pff._use_fold(plan, b)})", flush=True)
@@ -51,6 +55,12 @@ def main():
         for tag, fold_on in (("fold", True), ("composed", False)):
             pff._use_fold = (lambda p, bb: real_use_fold(p, bb)) if fold_on \
                 else (lambda p, bb: False)
+            # the fold gate is not part of dispatch.state_key (it is a
+            # pure function of plan/batch/backend in production) — the
+            # monkeypatch requires a fresh trace or the A/B compares an
+            # executable against itself (the CLAUDE.md trap)
+            pff._jitted_split.cache_clear()
+            pair = make_pair()  # fresh step: bench_op's loop cache keys on it
             ts = []
             for _ in range(ROUNDS):
                 try:
