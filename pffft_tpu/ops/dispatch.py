@@ -47,7 +47,7 @@ __all__ = ["available_engines", "select_engine", "set_engine", "cfft_dispatch"]
 
 _FORCED: Optional[str] = None
 
-_ENGINES = ("xla", "fused2", "pallas", "ksplit")
+_ENGINES = ("xla", "fused2", "pallas", "ksplit", "kern2")
 
 # VMEM budget for the fused kernels' block (bytes); beyond it Mosaic OOMs.
 _PALLAS_VMEM_BUDGET = 12 << 20
@@ -364,6 +364,95 @@ def cfft_ksplit2_tmajor(
     return call(re, im)
 
 
+# ---------------------------------------------------------------------------
+# kern2: the TWO-KERNEL-PASS engine (round 5) — pass A is the wide-tile
+# length-m kernel over the free [N, B] -> [m, r*B] decimation-in-time view,
+# pass B is the Pallas combine kernel (pallas_fft.cfft_combine_tmajor)
+# instead of ksplit's losing XLA einsum+relayout combine.  Two clean HBM
+# round trips with kernel-grade fusion in each: the design that extends
+# single-pass-quality coverage past the n*tb <= 1M compile wall
+# (VERDICT r4 next-1b).  The reference's engine covers its whole size
+# range at uniform SIMD quality (pffft_priv_impl.h:1465-1532); this is
+# the TPU analog for N above the direct kernel's ceiling.
+# ---------------------------------------------------------------------------
+
+# Measured (m, r) split for the kern2 engine (scripts/r5_kern2.py).
+_KERN2_CONF: dict = {}
+
+
+def set_kern2_conf(n: int, m: int, r: int) -> None:
+    """Record a measured kern2 (m, r) split for ``n``."""
+
+    global _TABLE_VERSION
+    if m * r != n:
+        raise ValueError(f"kern2 conf {m}*{r} != {n}")
+    _KERN2_CONF[int(n)] = (int(m), int(r))
+    _TABLE_VERSION += 1
+
+
+def _kern2_conf(n: int) -> Optional[Tuple[int, int]]:
+    """(m, r) for the two-pass engine: measured table first, else the
+    largest kernel-covered m with a butterfly-supported r (the combine
+    kernel handles r in {2,3,4,5,8,16})."""
+
+    conf = _KERN2_CONF.get(n)
+    if conf is not None:
+        return conf
+    if n < 8192:
+        # the direct kernel covers N<=8192; two passes only pay past it
+        return None
+    for m in (4096, 2048, 1024):
+        r = n // m
+        if n == m * r and r in (2, 3, 4, 5, 8, 16) \
+                and _pk.thin_factors(m) is not None:
+            return (m, r)
+    return None
+
+
+def cfft_kern2_tmajor(
+    plan: _plan.Plan,
+    re: jax.Array,
+    im: jax.Array,
+    *,
+    backward: bool = False,
+    interpret: bool = False,
+    conf: Optional[Tuple[int, int]] = None,
+    tb_a: Optional[int] = None,
+    mk: Optional[int] = None,
+    tb_b: Optional[int] = None,
+):
+    """Two-kernel-pass complex FFT, time-major planes [N, B].
+
+    Unscaled, canonical bin order.  N = m*r: pass A runs the length-m
+    fused kernel on the [m, r*B] view (wide lane tiles — the kernel's
+    0.5-0.8 SoL regime), pass B the Pallas combine kernel.  ``conf``
+    overrides the (m, r) table; ``tb_a``/``mk``/``tb_b`` the tile policy
+    (probe harnesses)."""
+
+    c = conf if conf is not None else _kern2_conf(plan.engine_n)
+    if c is None:
+        raise ValueError(f"no kern2 configuration for N={plan.engine_n}")
+    built = _build_ksplit(plan.engine_n, *c)
+    if built is None:
+        raise ValueError(f"no kern2 build for N={plan.engine_n} (m,r)={c}")
+    mplan, last = built
+    n, b = re.shape
+    m, r = mplan.engine_n, last.r
+    tb = tb_a if tb_a is not None else _pk.best_tb(m, r * b)
+    if tb is None:
+        raise ValueError(f"batch {b}: no kernel tile divides {r}*{b}")
+    ar = re.reshape(m, r * b)
+    ai = im.reshape(m, r * b)
+    ar, ai = _pk.cfft_pallas_tmajor(
+        mplan, ar, ai, backward=backward, tb=tb, interpret=interpret,
+        scratch=_pk.use_scratch(m, tb),
+    )
+    return _pk.cfft_combine_tmajor(
+        last, ar.reshape(n, b), ai.reshape(n, b),
+        backward=backward, mk=mk, tb=tb_b, interpret=interpret,
+    )
+
+
 def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[str, ...]:
     out = ["xla"]
     if (
@@ -388,6 +477,14 @@ def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[s
             built[0].engine_n, built[1].r * batch
         ) is not None:
             out.append("ksplit")
+        conf = _kern2_conf(plan.engine_n)
+        if (
+            conf is not None
+            and batch % 128 == 0
+            and _build_ksplit(plan.engine_n, *conf) is not None
+            and _pk.best_tb(conf[0], conf[1] * batch) is not None
+        ):
+            out.append("kern2")
     return tuple(out)
 
 
@@ -667,6 +764,8 @@ def cfft_dispatch(
         )
     if engine == "ksplit":
         return cfft_ksplit_tmajor(plan, re, im, backward=backward, interpret=interp)
+    if engine == "kern2":
+        return cfft_kern2_tmajor(plan, re, im, backward=backward, interpret=interp)
     if engine == "fused2":
         lead = re.shape[:-1]
         n = re.shape[-1]

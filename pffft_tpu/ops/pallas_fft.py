@@ -50,6 +50,7 @@ __all__ = [
     "supported",
     "cfft_pallas_tmajor",
     "cfft_pallas",
+    "cfft_combine_tmajor",
     "DEFAULT_TB",
     "best_tb",
 ]
@@ -546,6 +547,146 @@ def cfft_pallas_tmajor(
             vmem_limit = WALL_VMEM_LIMIT
     call = _build(plan, backward, tb, interpret, inner, vmem_limit, scratch,
                   arbitrary_grid)
+    return call(re, im)
+
+
+# ---------------------------------------------------------------------------
+# Combine kernel (pass B of the two-kernel-pass engine, round 5).
+#
+# The engine's compile wall is n*tb <= 1M elements per kernel tile
+# (vmem2_r4.txt) — a DIRECT single-pass kernel above N=8192 cannot hold a
+# full-length column tile in VMEM.  The two-pass engine splits N = m*r the
+# ksplit way: time-major [N, B] reshaped [m, r*B] is a FREE decimation-in-
+# time split (lane column (c, b) holds x[c::r]), pass A runs the wide-tile
+# length-m kernel over it (the 0.5-0.8 SoL regime), and this kernel is
+# pass B — the twiddled radix-r combine X[t*m + k] = sum_c W_N^{ck} W_r^{ct}
+# Z_c[k], tiled over BOTH the spectrum index k (sublanes, mk rows/step) and
+# the batch (lanes, tb cols/step).  Every relayout lives at the BlockSpec
+# I/O level: the input block is mk*r CONTIGUOUS rows of the pass-A output
+# (state [m, r, B] row-major), the output block writes r stripes of a
+# [r, m, B] buffer whose flat view IS the canonical [N, B] spectrum.  No
+# in-kernel lane slicing or concat — the relayout traffic that made the
+# one-pass ksplit2 form lose (ksplit2_r4.txt).
+# ---------------------------------------------------------------------------
+
+
+def _make_combine_kernel(r: int, backward: bool):
+    sign = 1.0 if backward else -1.0
+
+    def kernel(twr_ref, twi_ref, re_ref, im_ref, or_ref, oi_ref):
+        mk = twr_ref.shape[0]
+        tb = re_ref.shape[-1]
+        twr = twr_ref[:]                                   # [mk, r]
+        twi = -twi_ref[:] if backward else twi_ref[:]
+        ar = re_ref[:].reshape(mk, r, tb)                  # sublane split
+        ai = im_ref[:].reshape(mk, r, tb)
+        slabs = []
+        for i in range(r):
+            sr_, si_ = ar[:, i], ai[:, i]                  # [mk, tb]
+            if i > 0:                                      # T[k, 0] == 1
+                wr = twr[:, i].reshape(mk, 1)
+                wi = twi[:, i].reshape(mk, 1)
+                sr_, si_ = sr_ * wr - si_ * wi, sr_ * wi + si_ * wr
+            slabs.append((sr_, si_))
+        ys = _butterfly(r, slabs, sign)
+        for t in range(r):
+            or_ref[t] = ys[t][0]
+            oi_ref[t] = ys[t][1]
+
+    return kernel
+
+
+# Combine-kernel tile policy: mk rows x tb lanes per grid step.  The live
+# set is ~4 blocks of mk*r*tb elements (in + out plane pairs) plus grid
+# double-buffering; 256K elements/block keeps it ~8 MB — far inside the
+# 100 MB scoped limit, no wall semantics needed.
+_COMBINE_ELEMS = 256 * 1024
+
+
+def _combine_tiles(m: int, r: int, b: int,
+                   mk: int | None, tb: int | None) -> Tuple[int, int]:
+    if tb is None:
+        tb = 512
+        while tb > 128 and b % tb:
+            tb //= 2
+    if mk is None:
+        mk = max(8, min(m, _COMBINE_ELEMS // (r * tb)) // 8 * 8)
+        while mk > 8 and m % mk:
+            mk //= 2
+    return mk, tb
+
+
+@functools.lru_cache(maxsize=128)
+def _build_combine(n: int, m: int, r: int, mk: int, tb: int,
+                   backward: bool, interpret: bool, twr_b, twi_b):
+    twr = np.frombuffer(twr_b, dtype=np.float32).reshape(m, r)
+    twi = np.frombuffer(twi_b, dtype=np.float32).reshape(m, r)
+    kernel = _make_combine_kernel(r, backward)
+    tw_spec = pl.BlockSpec((mk, r), lambda ki, j: (ki, 0),
+                           memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((mk * r, tb), lambda ki, j: (ki, j),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((r, mk, tb), lambda ki, j: (0, ki, j),
+                            memory_space=pltpu.VMEM)
+
+    def call(re, im):
+        b = re.shape[-1]
+        grid = (m // mk, b // tb)
+        out_shape = [
+            jax.ShapeDtypeStruct((r, m, b), jnp.float32),
+            jax.ShapeDtypeStruct((r, m, b), jnp.float32),
+        ]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(VMEM_LIMIT))
+        orr, oii = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tw_spec, tw_spec, in_spec, in_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(8 * r * math.log2(max(r, 2)) * m * b),
+                bytes_accessed=4 * 4 * n * b, transcendentals=0),
+            **params,
+        )(jnp.asarray(twr), jnp.asarray(twi), re, im)
+        return orr.reshape(n, b), oii.reshape(n, b)
+
+    return call
+
+
+def cfft_combine_tmajor(
+    last_stage,
+    re: jax.Array,
+    im: jax.Array,
+    *,
+    backward: bool = False,
+    mk: int | None = None,
+    tb: int | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Twiddled radix-r combine of the ksplit state (pass B).
+
+    ``last_stage``: the l=m, radix-r, m'=1 StageTables of the full plan
+    (dispatch._build_ksplit); planes are [N, B] holding the pass-A state
+    [m, r, B] row-major.  Returns the canonical ordered spectrum [N, B].
+    """
+
+    m, r = last_stage.l, last_stage.r
+    n, b = re.shape
+    if n != m * r:
+        raise ValueError(f"data length {n} != combine {m}*{r}")
+    mk, tb = _combine_tiles(m, r, b, mk, tb)
+    if m % mk or b % tb:
+        raise ValueError(f"tiles ({mk},{tb}) must divide ({m},{b})")
+    tw = last_stage.twiddle
+    call = _build_combine(
+        n, m, r, mk, tb, backward, interpret,
+        np.ascontiguousarray(tw.real, dtype=np.float32).tobytes(),
+        np.ascontiguousarray(tw.imag, dtype=np.float32).tobytes(),
+    )
     return call(re, im)
 
 

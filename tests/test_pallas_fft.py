@@ -519,3 +519,93 @@ def test_ksplit2_in_kernel_combine_matches_numpy():
             np.asarray(re[:, :2]).astype(np.float64)
             + 1j * np.asarray(im[:, :2]), axis=0)
         assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
+
+
+@pytest.mark.parametrize("n,conf", [(1024, (128, 8)), (2048, (128, 16)),
+                                    (640, (128, 5))])
+def test_kern2_two_pass_matches_numpy(n, conf):
+    """Two-kernel-pass engine (round 5): pass A = wide-tile length-m kernel
+    over the free [m, r*B] DIT view, pass B = the Pallas combine kernel
+    (dispatch.cfft_kern2_tmajor).  Correct ordered spectra both directions."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    b = 128
+    plan = pf.new_setup(n, pf.COMPLEX)
+    rng = _rng(n)
+    re = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
+    kr, ki = dp.cfft_kern2_tmajor(plan, re, im, conf=conf, interpret=True,
+                                  tb_a=128)
+    z = np.asarray(re).astype(np.float64) + 1j * np.asarray(im).astype(np.float64)
+    ref = np.fft.fft(z, axis=0)
+    err = np.abs((np.asarray(kr) + 1j * np.asarray(ki)) - ref).max()
+    assert err < 1e-5 * np.abs(ref).max(), n
+    br, bi = dp.cfft_kern2_tmajor(plan, kr, ki, backward=True, conf=conf,
+                                  interpret=True, tb_a=128)
+    assert np.abs(np.asarray(br) / n - np.asarray(re)).max() < 1e-4, n
+
+
+def test_kern2_dispatch_route():
+    """A measured-table 'kern2' entry must serve the public time-major path;
+    availability needs a kernel-covered m and lane-tile-aligned batch."""
+
+    import jax
+
+    from pffft_tpu.ops import dispatch as dp
+
+    n = 8192
+    plan = pf.new_setup(n, pf.COMPLEX)
+    assert dp._kern2_conf(n) is not None
+    assert "kern2" in dp.available_engines(plan, 128, True)
+    assert "kern2" not in dp.available_engines(plan, 100, True)
+    assert "kern2" not in dp.available_engines(plan, 128, False)
+    assert dp._kern2_conf(4096) is None  # direct kernel covers it
+    backend = jax.default_backend()
+    key = (backend, n, True)
+    prev = dp._MEASURED_TABLE.get(key)
+    dp.record_engine(backend, n, "kern2", time_major=True)
+    try:
+        assert dp.select_engine(plan, 128, True) == "kern2"
+        r = _rng(78)
+        re = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+        im = jnp.asarray(r.standard_normal((n, 128)).astype(np.float32))
+        xr, xi = dp.cfft_dispatch(plan, re, im, time_major=True)
+        ref = np.fft.fft(
+            np.asarray(re[:, :4]).astype(np.float64)
+            + 1j * np.asarray(im[:, :4]).astype(np.float64), axis=0)
+        got = np.asarray(xr[:, :4]) + 1j * np.asarray(xi[:, :4])
+        assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+    finally:
+        if prev is None:
+            dp._MEASURED_TABLE.pop(key, None)
+        else:
+            dp._MEASURED_TABLE[key] = prev
+
+
+def test_kern2_conf_override_and_state_key():
+    """set_kern2_conf records a measured split and bumps the state key."""
+
+    from pffft_tpu.ops import dispatch as dp
+
+    assert dp._kern2_conf(16384) == (4096, 4)
+    k0 = dp.state_key()
+    dp.set_kern2_conf(16384, 1024, 16)
+    try:
+        assert dp._kern2_conf(16384) == (1024, 16)
+        assert dp.state_key() != k0
+    finally:
+        dp._KERN2_CONF.pop(16384, None)
+    with pytest.raises(ValueError):
+        dp.set_kern2_conf(16384, 1024, 8)
+
+
+def test_combine_tile_policy():
+    """Combine-kernel tiles divide (m, b) and respect the element budget."""
+
+    mk, tb = pk._combine_tiles(1024, 8, 2048, None, None)
+    assert 1024 % mk == 0 and 2048 % tb == 0
+    assert mk * 8 * tb <= pk._COMBINE_ELEMS
+    mk, tb = pk._combine_tiles(2048, 16, 384, None, None)
+    assert tb in (128, 256) and 384 % tb == 0
+    assert 2048 % mk == 0
