@@ -1120,11 +1120,18 @@ def interleave_to_real_split_mxu(wr: jax.Array, wi: jax.Array) -> jax.Array:
 
 
 def pack_real_input_split_tmajor(x: jax.Array) -> SplitPair:
-    """[N, B] real -> planar [N/2, B] x2: z[m] = x[2m] + i x[2m+1]."""
+    """[N, B] real -> planar [N/2, B] x2: z[m] = x[2m] + i x[2m+1].
+
+    LANE form (r5): ``x.reshape(H, 2B)`` is free (row 2h||2h+1 becomes one
+    row [x[2h,:] | x[2h+1,:]]), so the de-interleave is two ALIGNED lane
+    slices instead of a sublane-stride-2 relayout — the conversion that
+    cost ~65% of the real pair at production geometries (real_anatomy3)
+    becomes tile-granular lane traffic that XLA fuses into the first
+    stage's reads."""
 
     n, b = x.shape
-    xz = x.reshape(n // 2, 2, b)
-    return xz[:, 0], xz[:, 1]
+    y = x.reshape(n // 2, 2 * b)
+    return y[:, :b], y[:, b:]
 
 
 def _reverse_conj_split_tmajor(zr: jax.Array, zi: jax.Array) -> SplitPair:
@@ -1215,7 +1222,10 @@ def real_backward_split_planar_tmajor_flat(sr, si, real_twiddle) -> SplitPair:
 
 
 def interleave_to_real_split_tmajor(wr: jax.Array, wi: jax.Array) -> jax.Array:
-    """Planar [H, B] x2 -> [N, B] real: x[2m] = re[m], x[2m+1] = im[m]."""
+    """Planar [H, B] x2 -> [N, B] real: x[2m] = re[m], x[2m+1] = im[m].
+
+    LANE form (r5): concat along lanes to [H, 2B] (aligned, one pass)
+    then a free reshape to [2H, B] — no sublane interleave relayout."""
 
     h, b = wr.shape
-    return jnp.stack([wr, wi], axis=1).reshape(2 * h, b)
+    return jnp.concatenate([wr, wi], axis=1).reshape(2 * h, b)
