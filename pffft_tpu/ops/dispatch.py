@@ -39,6 +39,7 @@ import jax
 import numpy as np
 
 from .. import plan as _plan
+from . import df64 as _df64
 from . import fused_stage as _fs
 from . import pallas_fft as _pk
 from . import split as _split
@@ -688,11 +689,66 @@ def state_key() -> tuple:
     return (
         _FORCED,
         os.environ.get("PFFFT_TPU_ENGINE") or None,
+        os.environ.get("PFFFT_TPU_DF64") or None,
         _TABLE_VERSION,
         _pk.tb_fail_version(),
         _split.cmul_mode(),
         _split._SPEC2_ENABLED,
         _split._STAGE_BARRIER,
+    )
+
+
+def _df64_route(plan: _plan.Plan) -> bool:
+    """Route f64 plans through the double-float MXU engine (ops/df64.py).
+
+    TPU only (elsewhere XLA's native f64 stage path is correct and fast
+    enough); requires a plain chain with stage radices <= 128 — the
+    exact-slice contraction's f32 accumulation bound is 2r <= 256 rows
+    (df64.py module docs).  PFFFT_TPU_DF64=0 forces the soft-float path
+    (measured 2-4 GF/s, sweep_r4_f64.csv); default is on."""
+
+    if plan.dtype != np.float64:
+        return False
+    if os.environ.get("PFFFT_TPU_DF64", "") in ("0", "off"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return plan.local_split is None and all(
+        st.r <= 128 for st in plan.stages
+    )
+
+
+def _cfft_df64(
+    plan: _plan.Plan,
+    re: jax.Array,
+    im: jax.Array,
+    *,
+    backward: bool,
+    time_major: bool,
+):
+    """f64 planes -> (hi, lo) f32 pairs -> df64 chain -> f64 planes.
+
+    The pair split/merge is 4 soft-float elementwise ops (memory-bound);
+    the stage contractions run on the MXU (see ops/df64.py)."""
+
+    import jax.numpy as jnp
+
+    if time_major:
+        rr, ii = _cfft_df64(
+            plan, re.T, im.T, backward=backward, time_major=False
+        )
+        return rr.T, ii.T
+    f64 = re.dtype
+    rh = re.astype(jnp.float32)
+    rl = (re - rh.astype(f64)).astype(jnp.float32)
+    ih = im.astype(jnp.float32)
+    il = (im - ih.astype(f64)).astype(jnp.float32)
+    (yh, yl), (vh, vl) = _df64.df64_cfft_split(
+        (rh, rl), (ih, il), plan.stages, backward=backward
+    )
+    return (
+        yh.astype(f64) + yl.astype(f64),
+        vh.astype(f64) + vl.astype(f64),
     )
 
 
@@ -751,6 +807,10 @@ def cfft_dispatch(
     otherwise [..., N].
     """
 
+    if _df64_route(plan):
+        return _cfft_df64(
+            plan, re, im, backward=backward, time_major=time_major
+        )
     batch = re.shape[-1] if time_major else int(re.size // re.shape[-1])
     engine = select_engine(plan, batch, time_major)
     # Mosaic only compiles on TPU; elsewhere the kernels run interpreted

@@ -617,8 +617,14 @@ class Plan:
         kind = _coerce_kind(kind)
         if max_factor is None:
             max_factor = default_max_factor()
+            if np.dtype(dtype) == np.float64:
+                # the df64 MXU engine's exact-slice accumulation bound is
+                # 2r <= 256 contraction rows (ops/df64.py); the f32
+                # measured factor table below doesn't apply either — its
+                # winners were timed on the 6-pass HIGHEST engine.
+                max_factor = min(max_factor, 128)
             # measured per-size stage table (TPU only; env/arg overrides win)
-            if factors is None and "PFFFT_TPU_MAX_FACTOR" not in __import__("os").environ:
+            elif factors is None and "PFFFT_TPU_MAX_FACTOR" not in __import__("os").environ:
                 try:
                     import jax
 
