@@ -596,6 +596,116 @@ def _make_combine_kernel(r: int, backward: bool):
     return kernel
 
 
+def _make_combine_kernel_v2(r: int, backward: bool):
+    """Per-slab-ref combine: the r sub-spectra arrive as r separate input
+    blocks (the SAME HBM buffer passed r times with per-slab index maps),
+    so the kernel never does v1's stride-r sublane re-slicing — the only
+    in-kernel work is the twiddle multiply and the butterfly."""
+
+    sign = 1.0 if backward else -1.0
+
+    def kernel(*refs):
+        twr_ref, twi_ref = refs[0], refs[1]
+        re_refs = refs[2 : 2 + r]
+        im_refs = refs[2 + r : 2 + 2 * r]
+        or_ref, oi_ref = refs[2 + 2 * r], refs[3 + 2 * r]
+        mk = twr_ref.shape[0]
+        twr = twr_ref[:]
+        twi = -twi_ref[:] if backward else twi_ref[:]
+        slabs = []
+        for c in range(r):
+            sr_, si_ = re_refs[c][:], im_refs[c][:]        # [mk, tb]
+            if c > 0:                                      # T[k, 0] == 1
+                wr = twr[:, c].reshape(mk, 1)
+                wi = twi[:, c].reshape(mk, 1)
+                sr_, si_ = sr_ * wr - si_ * wi, sr_ * wi + si_ * wr
+            slabs.append((sr_, si_))
+        ys = _butterfly(r, slabs, sign)
+        for t in range(r):
+            or_ref[t] = ys[t][0]
+            oi_ref[t] = ys[t][1]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=128)
+def _build_combine_v2(n: int, m: int, r: int, mk: int, tb: int,
+                      backward: bool, interpret: bool, twr_b, twi_b):
+    twr = np.frombuffer(twr_b, dtype=np.float32).reshape(m, r)
+    twi = np.frombuffer(twi_b, dtype=np.float32).reshape(m, r)
+    kernel = _make_combine_kernel_v2(r, backward)
+    tw_spec = pl.BlockSpec((mk, r), lambda ki, j: (ki, 0),
+                           memory_space=pltpu.VMEM)
+    slab_specs = [
+        pl.BlockSpec((mk, None, tb), lambda ki, j, c=c: (ki, c, j),
+                     memory_space=pltpu.VMEM)
+        for c in range(r)
+    ]
+    out_spec = pl.BlockSpec((r, mk, tb), lambda ki, j: (0, ki, j),
+                            memory_space=pltpu.VMEM)
+
+    def call(re, im):
+        b = re.shape[-1]
+        re3 = re.reshape(m, r, b)
+        im3 = im.reshape(m, r, b)
+        grid = (m // mk, b // tb)
+        out_shape = [
+            jax.ShapeDtypeStruct((r, m, b), jnp.float32),
+            jax.ShapeDtypeStruct((r, m, b), jnp.float32),
+        ]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(VMEM_LIMIT))
+        orr, oii = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tw_spec, tw_spec] + slab_specs + slab_specs,
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(8 * r * math.log2(max(r, 2)) * m * b),
+                bytes_accessed=4 * 4 * n * b, transcendentals=0),
+            **params,
+        )(jnp.asarray(twr), jnp.asarray(twi), *([re3] * r), *([im3] * r))
+        return orr.reshape(n, b), oii.reshape(n, b)
+
+    return call
+
+
+def stream_copy_pallas(re: jax.Array, im: jax.Array, *, rows: int = 512,
+                       tb: int = 512, interpret: bool = False):
+    """Pure-copy Pallas pass over [N, B] planes — the per-pass stream
+    ceiling of a geometry (probe tool; kern2b_r5)."""
+
+    n, b = re.shape
+    while rows > 8 and n % rows:
+        rows //= 2
+    while tb > 128 and b % tb:
+        tb //= 2
+
+    def kernel(re_ref, im_ref, or_ref, oi_ref):
+        or_ref[:] = re_ref[:]
+        oi_ref[:] = im_ref[:]
+
+    spec = pl.BlockSpec((rows, tb), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(VMEM_LIMIT))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // rows, b // tb),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((n, b), jnp.float32)] * 2,
+        interpret=interpret,
+        **params,
+    )(re, im)
+
+
 # Combine-kernel tile policy: mk rows x tb lanes per grid step.  The live
 # set is ~4 blocks of mk*r*tb elements (in + out plane pairs) plus grid
 # double-buffering; 256K elements/block keeps it ~8 MB — far inside the
@@ -666,12 +776,16 @@ def cfft_combine_tmajor(
     mk: int | None = None,
     tb: int | None = None,
     interpret: bool = False,
+    variant: int = 2,
 ) -> Tuple[jax.Array, jax.Array]:
     """Twiddled radix-r combine of the ksplit state (pass B).
 
     ``last_stage``: the l=m, radix-r, m'=1 StageTables of the full plan
     (dispatch._build_ksplit); planes are [N, B] holding the pass-A state
     [m, r, B] row-major.  Returns the canonical ordered spectrum [N, B].
+    variant 2 (default) feeds the r sub-spectra as separate per-slab
+    input blocks (no in-kernel stride-r re-slicing); 1 is the original
+    single-block form (kern2b_r5 A/B).
     """
 
     m, r = last_stage.l, last_stage.r
@@ -682,7 +796,8 @@ def cfft_combine_tmajor(
     if m % mk or b % tb:
         raise ValueError(f"tiles ({mk},{tb}) must divide ({m},{b})")
     tw = last_stage.twiddle
-    call = _build_combine(
+    build = _build_combine if variant == 1 else _build_combine_v2
+    call = build(
         n, m, r, mk, tb, backward, interpret,
         np.ascontiguousarray(tw.real, dtype=np.float32).tobytes(),
         np.ascontiguousarray(tw.imag, dtype=np.float32).tobytes(),
