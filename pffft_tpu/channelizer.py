@@ -152,6 +152,58 @@ class Channelizer:
                 acc = acc + rows[..., s : s + k, :] * wt[s]
         return jnp.flip(acc, axis=-2)  # k-axis flip: axis -2 is never minor
 
+    def _polyphase_tmajor(self, ext: jax.Array, k: int) -> jax.Array:
+        """[..., (P+K)*M] stream -> [M, ..., K] weighted frames, TIME-MAJOR.
+
+        Same identity as :meth:`_polyphase` but built in the transposed
+        layout the FFT kernel wants, so the frame tensor never does the
+        [..., K, M] -> [M, K] relayout hop: ONE stream transpose
+        ([..., Q, M] chunks -> [M, ..., Q]), a sublane flip + row-0
+        realignment (v[k, phi] reads ext[(P+k-s)M - phi], which for
+        phi >= 1 is chunk row M-phi at frame q-1 and for phi = 0 row 0 at
+        frame q), then the P-term MAC as aligned lane slices.  Saves 2-3
+        HBM passes vs _polyphase + transpose (pipeline_r4: the 4096ch
+        channelizer ran 0.061 SoL while its FFT ran 0.2+ — the framing
+        hops were the loss)."""
+
+        m, p, w = self.m, self.p, self.weights
+        q = ext.shape[-1] // m
+        lead = ext.shape[:-1]
+        chunks = ext.reshape(*lead, q, m)
+        t = jnp.moveaxis(chunks, -1, 0)  # [M, ..., Q]; t[j,...,q] = ext[qM+j]
+        # tf[0] = t[0] shifted one frame left (phi=0 reads frame q, not
+        # q-1); tf[phi>=1] = t[M-phi].  Zero-pad keeps lane counts equal —
+        # the slices below never touch the padded tail.
+        row0 = jnp.concatenate(
+            [t[0:1, ..., 1:], jnp.zeros_like(t[0:1, ..., :1])], axis=-1
+        )
+        tf = jnp.concatenate([row0, jnp.flip(t[1:], axis=0)], axis=0)
+        wt = w.astype(ext.dtype)  # [P, M]
+        wsh = (m,) + (1,) * (tf.ndim - 1)
+        acc = tf[..., p - 1 : p - 1 + k] * wt[0].reshape(wsh)
+        for s in range(1, p):
+            acc = acc + tf[..., p - 1 - s : p - 1 - s + k] * wt[s].reshape(
+                wsh
+            )
+        return acc  # [M, ..., K]
+
+    def _pfb_split_tmajor(
+        self, extr: jax.Array, exti: jax.Array, k_frames: int
+    ):
+        """Time-major composition end-to-end: returns ([M, B*K]) x2 planes
+        (channel-major).  The public process_split transposes back; the
+        streaming-pipeline entry :meth:`process_split_tmajor` doesn't."""
+
+        vr = self._polyphase_tmajor(extr, k_frames)
+        vi = self._polyphase_tmajor(exti, k_frames)
+        lead = vr.shape[1:]
+        yr, yi = _fft.transform_ordered_split_tmajor(
+            self.plan,
+            (vr.reshape(self.m, -1), vi.reshape(self.m, -1)),
+            _plan.BACKWARD,
+        )
+        return yr, yi, lead
+
     def _use_pfb_kernel(self, k: int) -> bool:
         """Route the polyphase FIR through the Pallas sliding-window
         kernel (ops/pfb_kernel.py: 1 read + 1 write vs the XLA chain's P
@@ -179,26 +231,21 @@ class Channelizer:
         unscaled backward DFT over phi (channel extraction).
         """
 
+        if self._use_tmajor_route(extr, k_frames):
+            # time-major end-to-end (r5): the polyphase builds [M, ..., K]
+            # directly, the kernel transforms in place, one transpose back
+            # to the public layout — vs the r4 composition's transpose in
+            # AND out of the frame tensor
+            yr, yi, lead = self._pfb_split_tmajor(extr, exti, k_frames)
+            m = self.m
+            yr = jnp.moveaxis(yr.reshape((m,) + lead), 0, -1)
+            yi = jnp.moveaxis(yi.reshape((m,) + lead), 0, -1)
+            return yr, yi
         vr = self._polyphase(extr, k_frames)
         vi = self._polyphase(exti, k_frames)
-        if self._use_tmajor_fft(vr):
-            # ride the single-HBM-pass time-major kernel (routed at
-            # M=128-8192 since round 4, routed_r4.txt: 2-4.5x the
-            # batch-major XLA chain) — one transpose each way costs two
-            # passes, the kernel saves ~four
-            lead = vr.shape[:-1]
-            m = vr.shape[-1]
-            tr, ti = (
-                vr.reshape(-1, m).T,
-                vi.reshape(-1, m).T,
-            )
-            yr, yi = _fft.transform_ordered_split_tmajor(
-                self.plan, (tr, ti), _plan.BACKWARD
-            )
-            return yr.T.reshape(*lead, m), yi.T.reshape(*lead, m)
         return _fft.transform_ordered_split(self.plan, (vr, vi), _plan.BACKWARD)
 
-    def _use_tmajor_fft(self, v: jax.Array) -> bool:
+    def _use_tmajor_route(self, ext: jax.Array, k_frames: int) -> bool:
         """Auto: when the measured dispatch table routes time-major M to
         the pallas kernel (and the batch is tile-aligned); override with
         PFFFT_TPU_CHAN_TMAJOR=1/0."""
@@ -212,10 +259,37 @@ class Channelizer:
             return False
         from .ops import dispatch as _dispatch
 
-        batch = int(np.prod(v.shape[:-1]))
+        batch = int(np.prod(ext.shape[:-1])) * k_frames
         return (
             _dispatch.select_engine(self.plan, batch, True) == "pallas"
         )
+
+    def process_split_tmajor(
+        self, state: ChannelizerState, x_re: jax.Array, x_im: jax.Array
+    ) -> Tuple[Tuple[jax.Array, jax.Array], ChannelizerState]:
+        """Channel-major stream step for time-major pipelines: planes
+        [..., L] x2 -> (([M, B*K]) x2, state') — the [M, ...] output of
+        the kernel with NO transpose back (columns run frame-fastest,
+        batch-major over any leading dims)."""
+
+        if x_re.shape[-1] % self.m:
+            raise ValueError(
+                f"stream chunk length {x_re.shape[-1]} must be a "
+                f"multiple of M={self.m}"
+            )
+        extr = jnp.concatenate(
+            [state.hist_re, x_re.astype(self.dtype)], axis=-1
+        )
+        exti = jnp.concatenate(
+            [state.hist_im, x_im.astype(self.dtype)], axis=-1
+        )
+        k = x_re.shape[-1] // self.m
+        yr, yi, _ = self._pfb_split_tmajor(extr, exti, k)
+        hist = self.p * self.m
+        new_state = ChannelizerState(
+            hist_re=extr[..., -hist:], hist_im=exti[..., -hist:]
+        )
+        return (yr, yi), new_state
 
     def process_split(
         self, state: ChannelizerState, x_re: jax.Array, x_im: jax.Array

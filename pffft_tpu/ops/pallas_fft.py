@@ -629,25 +629,33 @@ def _make_combine_kernel_v2(r: int, backward: bool):
 
 
 @functools.lru_cache(maxsize=128)
-def _build_combine_v2(n: int, m: int, r: int, mk: int, tb: int,
+def _build_combine_v2(n: int, m: int, r: int, mk: int, tb: int, b: int,
                       backward: bool, interpret: bool, twr_b, twi_b):
+    """v2 feeds the WIDE [m, r*B] view (pass A's native output — slab c
+    is the contiguous lane range [c*B, (c+1)*B)): each sub-spectrum
+    arrives as its own aligned 2D lane block, no squeezed block dims and
+    no in-kernel stride-r re-slicing."""
+
     twr = np.frombuffer(twr_b, dtype=np.float32).reshape(m, r)
     twi = np.frombuffer(twi_b, dtype=np.float32).reshape(m, r)
     kernel = _make_combine_kernel_v2(r, backward)
     tw_spec = pl.BlockSpec((mk, r), lambda ki, j: (ki, 0),
                            memory_space=pltpu.VMEM)
+    lanes_per_slab = b // tb
     slab_specs = [
-        pl.BlockSpec((mk, None, tb), lambda ki, j, c=c: (ki, c, j),
-                     memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            (mk, tb),
+            lambda ki, j, c=c: (ki, c * lanes_per_slab + j),
+            memory_space=pltpu.VMEM,
+        )
         for c in range(r)
     ]
     out_spec = pl.BlockSpec((r, mk, tb), lambda ki, j: (0, ki, j),
                             memory_space=pltpu.VMEM)
 
     def call(re, im):
-        b = re.shape[-1]
-        re3 = re.reshape(m, r, b)
-        im3 = im.reshape(m, r, b)
+        rew = re.reshape(m, r * b)
+        imw = im.reshape(m, r * b)
         grid = (m // mk, b // tb)
         out_shape = [
             jax.ShapeDtypeStruct((r, m, b), jnp.float32),
@@ -668,7 +676,7 @@ def _build_combine_v2(n: int, m: int, r: int, mk: int, tb: int,
                 flops=int(8 * r * math.log2(max(r, 2)) * m * b),
                 bytes_accessed=4 * 4 * n * b, transcendentals=0),
             **params,
-        )(jnp.asarray(twr), jnp.asarray(twi), *([re3] * r), *([im3] * r))
+        )(jnp.asarray(twr), jnp.asarray(twi), *([rew] * r), *([imw] * r))
         return orr.reshape(n, b), oii.reshape(n, b)
 
     return call
@@ -796,12 +804,14 @@ def cfft_combine_tmajor(
     if m % mk or b % tb:
         raise ValueError(f"tiles ({mk},{tb}) must divide ({m},{b})")
     tw = last_stage.twiddle
-    build = _build_combine if variant == 1 else _build_combine_v2
-    call = build(
-        n, m, r, mk, tb, backward, interpret,
-        np.ascontiguousarray(tw.real, dtype=np.float32).tobytes(),
-        np.ascontiguousarray(tw.imag, dtype=np.float32).tobytes(),
-    )
+    twr_b = np.ascontiguousarray(tw.real, dtype=np.float32).tobytes()
+    twi_b = np.ascontiguousarray(tw.imag, dtype=np.float32).tobytes()
+    if variant == 1:
+        call = _build_combine(n, m, r, mk, tb, backward, interpret,
+                              twr_b, twi_b)
+    else:
+        call = _build_combine_v2(n, m, r, mk, tb, b, backward, interpret,
+                                 twr_b, twi_b)
     return call(re, im)
 
 

@@ -187,3 +187,39 @@ def test_tmajor_fft_route_matches_batch_major(monkeypatch):
     ch2 = Channelizer(16, 4)
     y_b = np.asarray(ch2.one_shot(x))
     np.testing.assert_allclose(y_t, y_b, atol=1e-4 * max(1.0, np.abs(y_b).max()))
+
+
+class TestTmajorRoute:
+    """Round-5 time-major polyphase: [M, ..., K] frames built directly
+    (one stream transpose), vs the batch-major reference composition."""
+
+    @pytest.mark.parametrize("m,p,lead", [(16, 4, ()), (32, 8, (3,)),
+                                          (20, 3, (2,))])
+    def test_matches_batch_major(self, m, p, lead, monkeypatch):
+        rng = np.random.default_rng(11)
+        ch = Channelizer(m, p)
+        x = (rng.standard_normal((*lead, 6 * m))
+             + 1j * rng.standard_normal((*lead, 6 * m))).astype(np.complex64)
+        monkeypatch.setenv("PFFFT_TPU_CHAN_TMAJOR", "1")
+        y_t, st_t = ch.process(ch.init_state(lead), jnp.asarray(x))
+        monkeypatch.setenv("PFFFT_TPU_CHAN_TMAJOR", "0")
+        y_b, st_b = ch.process(ch.init_state(lead), jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_b),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(st_t.hist_re),
+                                   np.asarray(st_b.hist_re))
+
+    def test_tmajor_entry_layout(self, monkeypatch):
+        monkeypatch.setenv("PFFFT_TPU_CHAN_TMAJOR", "1")
+        rng = np.random.default_rng(12)
+        m, k = 16, 8
+        ch = Channelizer(m, 4)
+        xr = jnp.asarray(rng.standard_normal(k * m).astype(np.float32))
+        xi = jnp.asarray(rng.standard_normal(k * m).astype(np.float32))
+        (yr, yi), _ = ch.process_split_tmajor(ch.init_state(()), xr, xi)
+        assert yr.shape == (m, k)
+        (br, bi), _ = ch.process_split(ch.init_state(()), xr, xi)
+        np.testing.assert_allclose(np.asarray(yr.T), np.asarray(br),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(yi.T), np.asarray(bi),
+                                   atol=1e-5)
