@@ -93,8 +93,14 @@ def main():
     rng = np.random.default_rng(0)
     max_trials = 3 if quick else 12
     k1, k2 = (2, 10) if quick else (4, 40)
+    # headline shapes get LONGER windows (>= ~100-150 ms at the measured
+    # rate) and interleaved re-trials: the round-4 headline showed a 2.7x
+    # trial spread inside one window (BENCH_r04 1777-4717 GF/s) — the gap
+    # between builder windows (0.895) and driver capture (0.777) was
+    # variance, not engine (VERDICT r4 weak #3/next #3)
+    k1_band, k2_band = (2, 10) if quick else (16, 160)
 
-    def measure(name, n, batch, fn, data):
+    def warm(fn, data):
         # EAGER warmup first: the wall-tile compile-retry fallback
         # (fft.py:_call_tmajor_fallback) only catches remote-compile
         # errors when the transform executes eagerly — under bench_op's
@@ -103,9 +109,8 @@ def main():
         # resolves the tile (recording any failure) before timing.
         out = fn(*data)
         jax.block_until_ready(out)
-        trials = []
-        while len(trials) < max_trials:
-            trials.append(bench_op(fn, data, k1=k1, k2=k2))
+
+    def result(name, n, batch, trials):
         t_med = sorted(trials)[len(trials) // 2]
         t_best = min(trials)
         flops = 5.0 * batch * n * math.log2(n)
@@ -122,6 +127,30 @@ def main():
             "trial_gflops": [round(flops / t / 1e9, 1) for t in trials],
         }
 
+    def measure(name, n, batch, fn, data):
+        warm(fn, data)
+        trials = []
+        while len(trials) < max_trials:
+            trials.append(bench_op(fn, data, k1=k1, k2=k2))
+        return result(name, n, batch, trials)
+
+    def measure_band(configs):
+        """Round-robin the in-band configs' trials across the whole
+        window so every config sees the same service conditions (the
+        headline is their max — a lucky/throttled streak for one config
+        must not decide it)."""
+
+        for _, _, _, fn, data in configs:
+            warm(fn, data)
+        trials = [[] for _ in configs]
+        for _ in range(max_trials):
+            for i, (_, _, _, fn, data) in enumerate(configs):
+                trials[i].append(bench_op(fn, data, k1=k1_band, k2=k2_band))
+        return [
+            result(f"time-major dispatched N={n} (in-band)", n, b, ts)
+            for (n, b, _, _, _), ts in zip(configs, trials)
+        ]
+
     def tmajor_cfg(n, b):
         plan = pf.new_setup(n, pf.COMPLEX)
         re = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
@@ -131,9 +160,14 @@ def main():
         return plan, fn, (re, im)
 
     # in-band configs (the 1024-65536 north-star band): time-major through
-    # the measured dispatch = the single-pass Pallas kernel per-N tiles
+    # the measured dispatch = the single-pass Pallas kernel per-N tiles at
+    # the front, the measured upper-band engine (kern2/xla) behind it
     band = []
-    for n, b in ((1024, 16384), (2048, 8192), (4096, 4096)):
+    band_shapes = ((1024, 16384), (2048, 8192), (4096, 4096))
+    if not quick:
+        band_shapes += ((8192, 2048), (16384, 1024), (32768, 512),
+                        (65536, 256))
+    for n, b in band_shapes:
         if quick:
             b //= 4
         band.append((n, b) + tmajor_cfg(n, b))
@@ -155,10 +189,7 @@ def main():
     # (see CLAUDE.md).  The measured probe is still reported as info.
     peak_bw = measure_peak_bw(128 << 20 if quick else 512 << 20)
 
-    band_res = [
-        measure(f"time-major dispatched (in-band)", n, b, fn, data)
-        for n, b, _, fn, data in band
-    ]
+    band_res = measure_band(band)
     res1 = measure("batch-major xla (info)", n1, b1, fft1, (re1, im1))
     res3 = measure("time-major dispatched N=256 (out-of-band info)",
                    n3, b3, fft3, data3)
