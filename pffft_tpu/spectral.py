@@ -21,9 +21,9 @@ import numpy as np
 from . import plan as _plan
 from . import fft as _fft
 
-__all__ = ["frame_signal", "stft_split", "stft", "istft", "spectrogram",
-           "welch_psd", "hann", "hamming", "blackman", "blackmanharris",
-           "flattop", "kaiser", "get_window"]
+__all__ = ["frame_signal", "stft_split", "stft_split_tmajor", "stft",
+           "istft", "spectrogram", "welch_psd", "hann", "hamming",
+           "blackman", "blackmanharris", "flattop", "kaiser", "get_window"]
 
 
 def _cosine_window(n: int, coefs, dtype) -> np.ndarray:
@@ -157,7 +157,7 @@ def _stft_tmajor_enabled() -> bool:
 
 
 def _stft_split_tmajor(
-    x: jax.Array, plan, hop: int, w: np.ndarray
+    x: jax.Array, plan, hop: int, w: np.ndarray, tmajor_out: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
     """Time-major STFT composition: frames [n_fft, ..., K] built with ONE
     chunk transpose (the conv route's framing, ops/dispatch._CONV_TABLE
@@ -185,10 +185,34 @@ def _stft_split_tmajor(
     sr, si = _fft.transform_ordered_split_tmajor(
         plan, fr.reshape(n_fft, -1), _plan.FORWARD
     )
+    if tmajor_out:
+        return sr.reshape((plan.spectrum_size,) + lead + (k,)), si.reshape(
+            (plan.spectrum_size,) + lead + (k,)
+        )
     h = plan.spectrum_size
     sr = jnp.moveaxis(sr.reshape((h,) + lead + (k,)), 0, -1)
     si = jnp.moveaxis(si.reshape((h,) + lead + (k,)), 0, -1)
     return sr, si
+
+
+def stft_split_tmajor(
+    x: jax.Array,
+    n_fft: int,
+    hop: int,
+    window: Optional[np.ndarray] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Channel-major STFT for time-major pipelines: [..., L] real ->
+    ([H, ..., K]) x2 planes (H = n_fft/2 packed bins) with NO transpose
+    back to the public [..., K, H] layout — the transform's native
+    orientation (the two output moveaxis hops are ~2 of the composed
+    pipeline's ~6 HBM passes; pipeline_r4 measured the [..., K, H]
+    composition at 0.059 SoL)."""
+
+    plan = _plan.Plan.create(n_fft, _plan.REAL, strict=False)
+    w = _coerce_window(window, n_fft)
+    return _stft_split_tmajor(
+        x.astype(jnp.float32), plan, hop, w, tmajor_out=True
+    )
 
 
 def stft_split(

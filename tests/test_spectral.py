@@ -166,3 +166,22 @@ def test_welch_rides_tmajor_route(monkeypatch):
     monkeypatch.setattr(sp, "_TMAJOR_STFT", True)
     b = np.asarray(sp.welch_psd(x, 256))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_stft_split_tmajor_layout():
+    """Channel-major entry == the public stft transposed (round-5)."""
+
+    import pffft_tpu.spectral as sp
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 512)).astype(np.float32))
+    n_fft, hop = 64, 32
+    sr, si = sp.stft_split(x, n_fft, hop)
+    tr, ti = sp.stft_split_tmajor(x, n_fft, hop)
+    assert tr.shape == (n_fft // 2, 2, sr.shape[-2])
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(tr, 0, -1)), np.asarray(sr), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(ti, 0, -1)), np.asarray(si), atol=1e-5
+    )
