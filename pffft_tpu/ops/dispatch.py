@@ -377,8 +377,16 @@ def cfft_ksplit2_tmajor(
 # the TPU analog for N above the direct kernel's ceiling.
 # ---------------------------------------------------------------------------
 
-# Measured (m, r) split for the kern2 engine (scripts/r5_kern2.py).
-_KERN2_CONF: dict = {}
+# Measured (m, r) split for the kern2 engine (kern2d_r5.txt interleaved
+# race with the v2 combine: 6/6 wins vs xla at every size, medians
+# 0.244-0.258 SoL vs xla's 0.135-0.162 — 1.5-1.7x; at 8192 it also beats
+# the direct tb128 scratch kernel, 0.258 vs 0.206).
+_KERN2_CONF: dict = {
+    8192: (1024, 8),
+    16384: (2048, 8),
+    32768: (2048, 16),
+    65536: (4096, 16),
+}
 
 
 def set_kern2_conf(n: int, m: int, r: int) -> None:
@@ -530,11 +538,15 @@ _MEASURED_TABLE: dict = {
     ("tpu", 2048, True): "pallas",
     ("tpu", 4096, False): "xla",
     ("tpu", 4096, True): "pallas",
-    # N=8192: scratch chain tb128 — routed_r4.txt end-to-end race:
-    # 0.207 vs 0.164 med SoL, 8/8 interleaved round wins (the margin is
-    # 1.26x, under the 1.5x gate, but the per-round win record is
-    # unanimous with tight trial spreads on both sides).
-    ("tpu", 8192, True): "pallas",
+    # N=8192-65536 (round 5): the two-kernel-pass engine with the v2
+    # per-slab combine — kern2d_r5.txt interleaved race, 6/6 wins vs xla
+    # at every size (medians 0.219-0.258 SoL vs 0.135-0.162; at 8192 it
+    # also beats the r4-routed direct tb128 scratch kernel 0.258 vs
+    # 0.206).  The upper band's first single-engine coverage.
+    ("tpu", 8192, True): "kern2",
+    ("tpu", 16384, True): "kern2",
+    ("tpu", 32768, True): "kern2",
+    ("tpu", 65536, True): "kern2",
 }
 
 

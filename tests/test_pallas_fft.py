@@ -588,14 +588,15 @@ def test_kern2_conf_override_and_state_key():
 
     from pffft_tpu.ops import dispatch as dp
 
-    assert dp._kern2_conf(16384) == (4096, 4)
+    prior = dp._kern2_conf(16384)
+    assert prior == (2048, 8)  # kern2d_r5.txt measured winner
     k0 = dp.state_key()
     dp.set_kern2_conf(16384, 1024, 16)
     try:
         assert dp._kern2_conf(16384) == (1024, 16)
         assert dp.state_key() != k0
     finally:
-        dp._KERN2_CONF.pop(16384, None)
+        dp.set_kern2_conf(16384, *prior)
     with pytest.raises(ValueError):
         dp.set_kern2_conf(16384, 1024, 8)
 
