@@ -402,7 +402,7 @@ def set_kern2_conf(n: int, m: int, r: int) -> None:
 def _kern2_conf(n: int) -> Optional[Tuple[int, int]]:
     """(m, r) for the two-pass engine: measured table first, else the
     largest kernel-covered m with a butterfly-supported r (the combine
-    kernel handles r in {2,3,4,5,8,16})."""
+    kernel handles r in {2,3,4,5,8,16,32})."""
 
     conf = _KERN2_CONF.get(n)
     if conf is not None:
@@ -412,7 +412,7 @@ def _kern2_conf(n: int) -> Optional[Tuple[int, int]]:
         return None
     for m in (4096, 2048, 1024):
         r = n // m
-        if n == m * r and r in (2, 3, 4, 5, 8, 16) \
+        if n == m * r and r in (2, 3, 4, 5, 8, 16, 32) \
                 and _pk.thin_factors(m) is not None:
             return (m, r)
     return None

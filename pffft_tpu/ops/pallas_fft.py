@@ -271,6 +271,24 @@ def _butterfly(r: int, a, sign: float):
             for d in range(4):
                 out[c + 4 * d] = ys[d]
         return out
+    if r == 32:
+        # i = 4a + b: radix-8 over a per residue b, twiddles W32^{sign*b*c},
+        # then a radix-4 over b — y[c + 8d] = R4_d(W32^{bc} A_b[c]).
+        cols = [_butterfly(8, a[b::4], sign) for b in range(4)]
+        out = [None] * 32
+        for c in range(8):
+            slabs = []
+            for b in range(4):
+                xr, xi = cols[b][c]
+                if b and c:
+                    ang = 2 * math.pi * b * c / 32
+                    wr, wi = math.cos(ang), sign * math.sin(ang)
+                    xr, xi = xr * wr - xi * wi, xr * wi + xi * wr
+                slabs.append((xr, xi))
+            ys = _butterfly(4, slabs, sign)
+            for d in range(4):
+                out[c + 8 * d] = ys[d]
+        return out
     raise ValueError(f"unsupported radix {r}")
 
 
