@@ -402,6 +402,8 @@ def _call_tmajor_fallback(plan: Plan, backward: bool, args):
 
     from .ops import pallas_fft as _pk
 
+    import warnings
+
     while True:
         fn = _jitted_split_tmajor(plan, backward, _dispatch.state_key())
         try:
@@ -411,13 +413,27 @@ def _call_tmajor_fallback(plan: Plan, backward: bool, args):
             if "remote_compile" not in msg and "RESOURCE_EXHAUSTED" not in msg:
                 raise
             batch = args[0].shape[-1]
-            if _dispatch.select_engine(plan, batch, True) != "pallas":
+            engine = _dispatch.select_engine(plan, batch, True)
+            if engine == "kern2":
+                # kern2's pass A may ride a wall tile (m=4096/tb512) whose
+                # remote compile is stochastic (vmem2_r4.txt); demote this
+                # N to the XLA chain for the process rather than fail.
+                warnings.warn(
+                    f"kern2 engine (n={plan.engine_n}) failed to compile "
+                    f"on the remote backend; demoting to 'xla' "
+                    f"({type(e).__name__})",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+                _dispatch.record_engine(
+                    "tpu", plan.engine_n, "xla", time_major=True
+                )
+                continue
+            if engine != "pallas":
                 raise
             tb = _pk.best_tb(plan.engine_n, batch)
             if tb is None:
                 raise
-            import warnings
-
             warnings.warn(
                 f"pallas kernel tile (n={plan.engine_n}, tb={tb}) failed to "
                 f"compile on the remote backend; falling back to the next "
