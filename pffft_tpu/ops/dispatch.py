@@ -68,10 +68,15 @@ def _thin_plan(n: int) -> Optional[_plan.Plan]:
     try:
         if _pk.chain_pref(n):
             p = _plan.new_setup(
-                n, _plan.COMPLEX, factors=_pk.thin_factors(n, radix16=True)
+                n, _plan.COMPLEX, factors=_pk.thin_factors(n, radix16=True),
+                strict=False,
             )
         else:
-            p = _plan.new_setup(n, _plan.COMPLEX, max_factor=5)
+            # strict=False: this is an internal derivation — a kern2
+            # sub-length like m=600 needn't satisfy the public pffft
+            # N-granularity contract (pffft_priv_impl.h:1062-1078), only
+            # 2/3/5-smoothness
+            p = _plan.new_setup(n, _plan.COMPLEX, max_factor=5, strict=False)
     except ValueError:
         return None
     return p if _pk.supported(p) else None

@@ -746,9 +746,17 @@ def _combine_tiles(m: int, r: int, b: int,
         while tb > 128 and b % tb:
             tb //= 2
     if mk is None:
-        mk = max(8, min(m, _COMBINE_ELEMS // (r * tb)) // 8 * 8)
-        while mk > 8 and m % mk:
-            mk //= 2
+        # largest DIVISOR of m within the block budget, multiples of 8
+        # preferred (sublane granularity); non-pow2 m (e.g. 3072, 600)
+        # must not fall out of divisibility (the old halving loop could
+        # exit at a non-divisor)
+        cap = min(m, max(8, _COMBINE_ELEMS // (r * tb)))
+        mk = None
+        for cand in range(8, cap + 1, 8):
+            if m % cand == 0:
+                mk = cand
+        if mk is None:
+            mk = max(d for d in range(1, cap + 1) if m % d == 0)
     return mk, tb
 
 

@@ -24,6 +24,10 @@ ROUNDS = 6
 CONFS = {
     32768: ((2048, 16), (1024, 32)),
     65536: ((4096, 16), (2048, 32)),
+    # non-pow2 beyond the direct kernel's comfort: the combine has
+    # radix-3/4 butterflies, pass A rides the thin 2/3/5 chains
+    9216: ((2304, 4), (3072, 3)),
+    2400: ((600, 4), (800, 3)),
 }
 
 
