@@ -260,8 +260,9 @@ class Channelizer:
         from .ops import dispatch as _dispatch
 
         batch = int(np.prod(ext.shape[:-1])) * k_frames
-        return (
-            _dispatch.select_engine(self.plan, batch, True) == "pallas"
+        return _dispatch.select_engine(self.plan, batch, True) in (
+            "pallas",
+            "kern2",
         )
 
     def process_split_tmajor(
