@@ -24,7 +24,11 @@ import numpy as np
 SPEC_BW = 819e9
 ROUNDS = 5
 
-SIZES = (96, 160, 192, 384, 480, 640, 768, 800, 2400, 9216)
+SIZES = tuple(
+    int(s) for s in os.environ.get(
+        "NON2_SIZES", "96,160,192,384,480,640,768,800,2400,9216"
+    ).split(",")
+)
 
 # alternative dense factor chains to race against plan_factors' default
 ALT_FACTORS = {
@@ -118,9 +122,15 @@ def main():
         trials = {k: [] for k in live}
         for _ in range(ROUNDS):
             for k in live:
-                trials[k].append(bench_op(live[k], (re, im), k1=4, k2=20))
+                try:  # transient service read errors must not kill the run
+                    trials[k].append(bench_op(live[k], (re, im), k1=4, k2=20))
+                except Exception as e:
+                    print(f"  n={n} {k}: trial FAIL {type(e).__name__}"[:120],
+                          flush=True)
         for k in live:
             ts = sorted(trials[k])
+            if not ts:
+                continue
             med = ts[len(ts) // 2]
             print(f"  {k:24s} med {flops/med/1e9:7.1f} GF/s (SoL "
                   f"{sol_t/med:.3f}) trials "
