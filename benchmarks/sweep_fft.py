@@ -209,105 +209,110 @@ def main():
         for n in sizes:
             if not pf.is_valid_size(n, pf.REAL if kind == "real" else pf.COMPLEX):
                 continue
-            isz = 8 if args.dtype == "float64" else 4
-            cdt = np.complex128 if args.dtype == "float64" else np.complex64
-            batch = max(8, (args.batch_mib << 20) // (isz * n))
-            t_prep0 = time.perf_counter()
-            plan = pf.new_setup(n, pf.REAL if kind == "real" else pf.COMPLEX,
-                                dtype=args.dtype, max_factor=args.max_factor)
-            prep_ms = (time.perf_counter() - t_prep0) * 1e3
-            xnp = znp = None
-            if kind == "real":
-                if args.tmajor:
-                    xnp = rng.standard_normal((n, batch)).astype(args.dtype)
-                    x = jnp.asarray(xnp)
-
-                    def step(v, p=plan):
-                        sr, si = pf.fft.transform_ordered_split_tmajor(p, v, pf.FORWARD)
-                        return (pf.fft.transform_ordered_split_tmajor(
-                            p, (sr, si), pf.BACKWARD),)
-                else:
-                    xnp = rng.standard_normal((batch, n)).astype(args.dtype)
-                    x = jnp.asarray(xnp)
-
-                    def step(v, p=plan):
-                        sr, si = pf.fft.transform_ordered_split(p, v, pf.FORWARD)
-                        return (pf.fft.transform_ordered_split(p, (sr, si), pf.BACKWARD),)
-
-                # eager warmup: lets the wall-tile compile-retry fallback
-                # (fft.py) resolve tiles before bench_op's outer jit
-                jax.block_until_ready(step(x))
-                tc0 = time.perf_counter()
-                ts = [bench_op(step, (x,)) / 2.0 for _ in range(trials)]
-                compile_s = time.perf_counter() - tc0 - 2 * sum(ts)
-                t, tu = min(ts), None
-                bytes_min = (batch * n + 2 * batch * (n // 2)) * isz
-                mf = 2.5 * n * math.log2(n)
-            else:
-                znp = (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))).astype(cdt)
-                if args.tmajor:
-                    re = jnp.asarray(znp.real.T.copy())
-                    im = jnp.asarray(znp.imag.T.copy())
-                    step = lambda r, i, p=plan: pf.fft.transform_ordered_split_tmajor(
-                        p, (r, i), pf.FORWARD)
-                else:
-                    re = jnp.asarray(znp.real.copy())
-                    im = jnp.asarray(znp.imag.copy())
-                    step = lambda r, i, p=plan: pf.fft.transform_ordered_split(p, (r, i), pf.FORWARD)
-                jax.block_until_ready(step(re, im))
-                tc0 = time.perf_counter()
-                ts = [bench_op(step, (re, im)) for _ in range(trials)]
-                compile_s = time.perf_counter() - tc0 - sum(ts)
-                t = min(ts)
-                tu = None
-                if not args.tmajor:
-                    # unordered (internal layout) variant — the PFFFT-U analog
-                    stepu = lambda r, i, p=plan: pf.fft.transform_split(p, (r, i), pf.FORWARD)
-                    tu = min(bench_op(stepu, (re, im)) for _ in range(max(1, trials - 1)))
-                bytes_min = 4 * batch * n * isz
-                mf = 5.0 * n * math.log2(n)
-            sol = (bytes_min / SPEC_BW_V5E) / t
-            # faster-than-light rows are timing artifacts of this backend's
-            # optimistic memory pipeline: re-measure at 4x the loop length
-            # (constants amortize further) before archiving, and only flag
-            # if the longer window still exceeds the roofline (VERDICT r2:
-            # no bw_artifact rows should reach the archives unchallenged).
-            if sol > 1.0:
+            try:
+                isz = 8 if args.dtype == "float64" else 4
+                cdt = np.complex128 if args.dtype == "float64" else np.complex64
+                batch = max(8, (args.batch_mib << 20) // (isz * n))
+                t_prep0 = time.perf_counter()
+                plan = pf.new_setup(n, pf.REAL if kind == "real" else pf.COMPLEX,
+                                    dtype=args.dtype, max_factor=args.max_factor)
+                prep_ms = (time.perf_counter() - t_prep0) * 1e3
+                xnp = znp = None
                 if kind == "real":
-                    t_re = min(bench_op(step, (x,), k1=16, k2=80) / 2.0 for _ in range(2))
+                    if args.tmajor:
+                        xnp = rng.standard_normal((n, batch)).astype(args.dtype)
+                        x = jnp.asarray(xnp)
+
+                        def step(v, p=plan):
+                            sr, si = pf.fft.transform_ordered_split_tmajor(p, v, pf.FORWARD)
+                            return (pf.fft.transform_ordered_split_tmajor(
+                                p, (sr, si), pf.BACKWARD),)
+                    else:
+                        xnp = rng.standard_normal((batch, n)).astype(args.dtype)
+                        x = jnp.asarray(xnp)
+
+                        def step(v, p=plan):
+                            sr, si = pf.fft.transform_ordered_split(p, v, pf.FORWARD)
+                            return (pf.fft.transform_ordered_split(p, (sr, si), pf.BACKWARD),)
+
+                    # eager warmup: lets the wall-tile compile-retry fallback
+                    # (fft.py) resolve tiles before bench_op's outer jit
+                    jax.block_until_ready(step(x))
+                    tc0 = time.perf_counter()
+                    ts = [bench_op(step, (x,)) / 2.0 for _ in range(trials)]
+                    compile_s = time.perf_counter() - tc0 - 2 * sum(ts)
+                    t, tu = min(ts), None
+                    bytes_min = (batch * n + 2 * batch * (n // 2)) * isz
+                    mf = 2.5 * n * math.log2(n)
                 else:
-                    t_re = min(bench_op(step, (re, im), k1=16, k2=80) for _ in range(2))
-                if t_re > t:
-                    ts = ts + [t_re]
-                    t = t_re
-                    sol = (bytes_min / SPEC_BW_V5E) / t
-            spread = (max(ts) - min(ts)) / min(ts) if len(ts) > 1 else 0.0
-            # the SoL>1 re-measure above may have slowed `t` below trials
-            # that were artifacts; the median must not beat the vetted best
-            t_med = max(sorted(ts)[len(ts) // 2], t)
-            row = dict(kind=kind, n=n, batch=batch, dtype=args.dtype,
-                       layout="tmajor" if args.tmajor else "bmajor",
-                       ns_per=round(t / batch * 1e9, 2),
-                       gflops=round(mf * batch / t / 1e9, 1),
-                       gflops_med=round(mf * batch / t_med / 1e9, 1),
-                       sol=round(sol, 3),
-                       sol_med=round((bytes_min / SPEC_BW_V5E) / t_med, 3),
-                       bw_artifact=bool(sol > 1.0),
-                       trials=trials, spread=round(spread, 3),
-                       prep_ms=round(prep_ms, 2),
-                       compile_s=round(max(compile_s, 0.0), 2),
-                       factors=str(plan.factors))
-            if tu is not None:
-                row["gflops_unordered"] = round(mf * batch / tu / 1e9, 1)
-            if args.compare:
-                comp = _competitors(kind, n, batch, xnp, znp, dev.platform)
-                for name, g in comp.items():
-                    row[f"gflops_{name}"] = g
-                    row[f"relToPffft_{name}"] = (
-                        round(g / row["gflops"], 3) if g else None
-                    )
-            rows.append(row)
-            print(json.dumps(row), flush=True)
+                    znp = (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))).astype(cdt)
+                    if args.tmajor:
+                        re = jnp.asarray(znp.real.T.copy())
+                        im = jnp.asarray(znp.imag.T.copy())
+                        step = lambda r, i, p=plan: pf.fft.transform_ordered_split_tmajor(
+                            p, (r, i), pf.FORWARD)
+                    else:
+                        re = jnp.asarray(znp.real.copy())
+                        im = jnp.asarray(znp.imag.copy())
+                        step = lambda r, i, p=plan: pf.fft.transform_ordered_split(p, (r, i), pf.FORWARD)
+                    jax.block_until_ready(step(re, im))
+                    tc0 = time.perf_counter()
+                    ts = [bench_op(step, (re, im)) for _ in range(trials)]
+                    compile_s = time.perf_counter() - tc0 - sum(ts)
+                    t = min(ts)
+                    tu = None
+                    if not args.tmajor:
+                        # unordered (internal layout) variant — the PFFFT-U analog
+                        stepu = lambda r, i, p=plan: pf.fft.transform_split(p, (r, i), pf.FORWARD)
+                        tu = min(bench_op(stepu, (re, im)) for _ in range(max(1, trials - 1)))
+                    bytes_min = 4 * batch * n * isz
+                    mf = 5.0 * n * math.log2(n)
+                sol = (bytes_min / SPEC_BW_V5E) / t
+                # faster-than-light rows are timing artifacts of this backend's
+                # optimistic memory pipeline: re-measure at 4x the loop length
+                # (constants amortize further) before archiving, and only flag
+                # if the longer window still exceeds the roofline (VERDICT r2:
+                # no bw_artifact rows should reach the archives unchallenged).
+                if sol > 1.0:
+                    if kind == "real":
+                        t_re = min(bench_op(step, (x,), k1=16, k2=80) / 2.0 for _ in range(2))
+                    else:
+                        t_re = min(bench_op(step, (re, im), k1=16, k2=80) for _ in range(2))
+                    if t_re > t:
+                        ts = ts + [t_re]
+                        t = t_re
+                        sol = (bytes_min / SPEC_BW_V5E) / t
+                spread = (max(ts) - min(ts)) / min(ts) if len(ts) > 1 else 0.0
+                # the SoL>1 re-measure above may have slowed `t` below trials
+                # that were artifacts; the median must not beat the vetted best
+                t_med = max(sorted(ts)[len(ts) // 2], t)
+                row = dict(kind=kind, n=n, batch=batch, dtype=args.dtype,
+                           layout="tmajor" if args.tmajor else "bmajor",
+                           ns_per=round(t / batch * 1e9, 2),
+                           gflops=round(mf * batch / t / 1e9, 1),
+                           gflops_med=round(mf * batch / t_med / 1e9, 1),
+                           sol=round(sol, 3),
+                           sol_med=round((bytes_min / SPEC_BW_V5E) / t_med, 3),
+                           bw_artifact=bool(sol > 1.0),
+                           trials=trials, spread=round(spread, 3),
+                           prep_ms=round(prep_ms, 2),
+                           compile_s=round(max(compile_s, 0.0), 2),
+                           factors=str(plan.factors))
+                if tu is not None:
+                    row["gflops_unordered"] = round(mf * batch / tu / 1e9, 1)
+                if args.compare:
+                    comp = _competitors(kind, n, batch, xnp, znp, dev.platform)
+                    for name, g in comp.items():
+                        row[f"gflops_{name}"] = g
+                        row[f"relToPffft_{name}"] = (
+                            round(g / row["gflops"], 3) if g else None
+                        )
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+            except Exception as e:  # transient service errors must not kill the sweep
+                print(f"# SKIP n={n} kind={kind}: {type(e).__name__}: {e}"[:200],
+                      file=sys.stderr, flush=True)
+                continue
 
     if args.csv:
         import csv
