@@ -63,9 +63,15 @@ def _slice_dtype():
     return (
         jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     )
-DF_CHUNKS = 7  # operand slices: 7 x 7 = 49 bits, the df pair's width
-MAT_CHUNKS = 8  # matrix slices (host-side f64 tables): 56 bits
-TAU = 7  # keep cross terms with i + j < TAU (tail ~2^-7*TAU)
+import os as _os
+
+# Slice/term budget.  Defaults deliver ~2^-49 (282 dB measured on chip,
+# df64_r5.txt) — two orders past the 215 dB bound.  PFFFT_TPU_DF64_TAU
+# trades tail accuracy for fewer MXU passes (TAU=6 -> 21 matmuls, tail
+# ~2^-42 = 255 dB; TAU=5 -> 15, ~2^-35 = 211 dB which FAILS the bound).
+DF_CHUNKS = int(_os.environ.get("PFFFT_TPU_DF64_CHUNKS", "7"))
+MAT_CHUNKS = max(DF_CHUNKS, 8)  # matrix slices (host f64 tables): 56 bits
+TAU = int(_os.environ.get("PFFFT_TPU_DF64_TAU", "7"))
 
 
 # ---------------------------------------------------------------------------
