@@ -150,6 +150,37 @@ def _df_cmul(ar, ai, wr, wi):
     return rr, ri
 
 
+def _df_prod_const(zh, zhh, zhl, zl, w):
+    """z * w for a CONSTANT w = (wh, wl, whh, whl) with the Veltkamp
+    split of wh precomputed host-side and the split of zh shared by the
+    caller across products: p + e ~ z*w to df accuracy."""
+
+    wh, wl, whh, whl = w
+    p = zh * wh
+    e = ((zhh * whh - p) + zhh * whl + zhl * whh) + zhl * whl
+    e = e + (zh * wl + zl * wh)
+    return _fast_two_sum(p, e)
+
+
+def _df_cmul_const(ar, ai, wr4, wi4):
+    """Complex df multiply by a CONSTANT twiddle: the zh Veltkamp splits
+    are computed once per operand (not once per product) and the
+    constant-side splits come precomputed — ~40% fewer VPU ops than the
+    generic 4x df_mul form."""
+
+    arh, arl = ar
+    aih, ail = ai
+    arhh, arhl = _vsplit(arh)
+    aihh, aihl = _vsplit(aih)
+    t1 = _df_prod_const(arh, arhh, arhl, arl, wr4)  # ar*wr
+    t2 = _df_prod_const(aih, aihh, aihl, ail, wi4)  # ai*wi
+    t3 = _df_prod_const(arh, arhh, arhl, arl, wi4)  # ar*wi
+    t4 = _df_prod_const(aih, aihh, aihl, ail, wr4)  # ai*wr
+    rr = df_add(t1, df_neg(t2))
+    ri = df_add(t3, t4)
+    return rr, ri
+
+
 # ---------------------------------------------------------------------------
 # Exponent-aligned slice peeling (the exact-product Ozaki step)
 # ---------------------------------------------------------------------------
@@ -289,14 +320,30 @@ def _stage_mat_slices(stage, backward: bool):
     return tuple(sl), scale  # scale: [1, 2t]
 
 
+def _vsplit_host(a: np.ndarray):
+    """Host mirror of the device Veltkamp split (f32 arithmetic)."""
+
+    a = np.asarray(a, dtype=np.float32)
+    c = (a * np.float32(4097.0)).astype(np.float32)
+    hi = (c - (c - a)).astype(np.float32)
+    return hi, (a - hi).astype(np.float32)
+
+
 @functools.lru_cache(maxsize=1024)
 def _stage_tw_df(stage, backward: bool):
-    """Dense [l, r] twiddle table as (hi, lo) f32 pairs."""
+    """Dense [l, r] twiddle table as (wh, wl, whh, whl) f32 4-tuples per
+    re/im plane — the hi part's Veltkamp split precomputed host-side for
+    the constant-twiddle complex multiply."""
 
     tw = np.asarray(stage.twiddle, dtype=np.complex128)
     if backward:
         tw = np.conj(tw)
-    return df_from_f64(tw.real), df_from_f64(tw.imag)
+    out = []
+    for part in (tw.real, tw.imag):
+        wh, wl = df_from_f64(part)
+        whh, whl = _vsplit_host(wh)
+        out.append((wh, wl, whh, whl))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -336,16 +383,10 @@ def df64_cfft_split(
         if l > 1:
             (twr, twi) = _stage_tw_df(st, backward)
             wsh = (1, l, r, 1)
-            wr = (
-                jnp.asarray(twr[0]).reshape(wsh),
-                jnp.asarray(twr[1]).reshape(wsh),
-            )
-            wi = (
-                jnp.asarray(twi[0]).reshape(wsh),
-                jnp.asarray(twi[1]).reshape(wsh),
-            )
-            (arh, arl), (aih, ail) = _df_cmul(
-                (arh, arl), (aih, ail), wr, wi
+            wr4 = tuple(jnp.asarray(t).reshape(wsh) for t in twr)
+            wi4 = tuple(jnp.asarray(t).reshape(wsh) for t in twi)
+            (arh, arl), (aih, ail) = _df_cmul_const(
+                (arh, arl), (aih, ail), wr4, wi4
             )
         # concat re/im along the r axis -> one [2r, 2t] contraction
         xh = jnp.concatenate([arh, aih], axis=2)
