@@ -368,12 +368,17 @@ def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
                 )
         else:
             def fn(x):
-                zr, zi = _split.pack_real_input_split_tmajor(
-                    x.astype(plan.dtype.type)
-                )
-                zr, zi = _dispatch.cfft_dispatch(
-                    plan, zr, zi, backward=False, time_major=True
-                )
+                x = x.astype(plan.dtype.type)
+                packed = _dispatch.packed_fwd_route(plan, x.shape[-1])
+                if packed is not None:
+                    # zero-copy pack: the kernel reads re/im tiles from
+                    # the free [H, 2B] reshape at lane offsets 0/B
+                    zr, zi = packed(x.reshape(plan.engine_n, -1))
+                else:
+                    zr, zi = _split.pack_real_input_split_tmajor(x)
+                    zr, zi = _dispatch.cfft_dispatch(
+                        plan, zr, zi, backward=False, time_major=True
+                    )
                 fwd = (
                     _split.real_forward_split_planar_tmajor_flat
                     if flat

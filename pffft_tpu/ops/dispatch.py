@@ -715,6 +715,27 @@ def state_key() -> tuple:
     )
 
 
+def packed_fwd_route(plan: _plan.Plan, batch: int):
+    """Zero-copy real-forward pack: a callable y[H, 2B] -> planar pair
+    when the tmajor engine is the direct kernel (its re/im input tiles
+    then DMA straight from the packed buffer at lane offsets 0/B —
+    pallas_fft.cfft_pallas_tmajor_packed), else None.  The planar pack's
+    lane slices cannot fuse into a pallas call (XLA materializes both
+    half planes first), so the packed entry saves a full HBM pass."""
+
+    if jax.default_backend() != "tpu":
+        return None
+    if select_engine(plan, batch, True) != "pallas":
+        return None
+    pplan = _pallas_plan(plan)
+    if pplan is None:
+        return None
+    tb = _pk.best_tb(plan.engine_n, batch)
+    if tb is None or batch % tb:
+        return None
+    return lambda y: _pk.cfft_pallas_tmajor_packed(pplan, y, tb=tb)
+
+
 def _df64_route(plan: _plan.Plan) -> bool:
     """Route f64 plans through the double-float MXU engine (ops/df64.py).
 

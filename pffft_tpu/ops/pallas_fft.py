@@ -700,6 +700,89 @@ def _build_combine_v2(n: int, m: int, r: int, mk: int, tb: int, b: int,
     return call
 
 
+@functools.lru_cache(maxsize=128)
+def _build_packed(plan, backward: bool, tb: int, interpret: bool,
+                  lanes_half: int, scratch: bool):
+    """Kernel build whose re/im input tiles come from ONE packed
+    [n, 2B] buffer at lane offsets 0 and B (the time-major real pack
+    x.reshape(H, 2B) — lanes :B are re, B: are im).  The pack never
+    materializes: the DMA engine pulls each plane's tile straight from
+    the packed buffer.  Outputs planar (no aliasing — shapes differ)."""
+
+    n = plan.engine_n
+    active = [s for s in plan.stages if s.r != 1]
+    tw_inputs = []
+    tw_specs = []
+    for st in active:
+        tw = st.twiddle
+        tw_inputs.append(np.ascontiguousarray(tw.real, dtype=np.float32))
+        tw_inputs.append(np.ascontiguousarray(tw.imag, dtype=np.float32))
+        spec = pl.BlockSpec((st.l, st.r), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+        tw_specs.extend([spec, spec])
+    re_spec = pl.BlockSpec((n, tb), lambda j: (0, j),
+                           memory_space=pltpu.VMEM)
+    im_spec = pl.BlockSpec((n, tb), lambda j: (0, j + lanes_half),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n, tb), lambda j: (0, j),
+                            memory_space=pltpu.VMEM)
+    scratch_shapes = []
+    if scratch:
+        kernel = _make_kernel_scratch(n, plan.stages, backward)
+        scratch_shapes = [pltpu.VMEM((n, tb), jnp.float32)] * 2
+    else:
+        kernel = _make_kernel(n, plan.stages, backward, 0)
+
+    def call(y):
+        b = lanes_half * tb
+        grid = (b // tb,)
+        out_shape = [
+            jax.ShapeDtypeStruct((n, b), jnp.float32),
+            jax.ShapeDtypeStruct((n, b), jnp.float32),
+        ]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(VMEM_LIMIT))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[*tw_specs, re_spec, im_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            scratch_shapes=scratch_shapes,
+            cost_estimate=pl.CostEstimate(
+                flops=int(8 * n * math.log2(max(n, 2)) * b),
+                bytes_accessed=4 * 4 * n * b, transcendentals=0),
+            **params,
+        )(*[jnp.asarray(t) for t in tw_inputs], y, y)
+
+    return call
+
+
+def cfft_pallas_tmajor_packed(
+    plan, y: jax.Array, *, backward: bool = False, tb: int | None = None,
+    interpret: bool = False, scratch: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Complex FFT of a PACKED time-major buffer y [n, 2B] (lanes :B
+    re, B: im — exactly ``x.reshape(H, 2B)`` of an interleaved real
+    stream) -> planar ([n, B]) x2.  The pack costs zero HBM passes."""
+
+    n, b2 = y.shape
+    b = b2 // 2
+    if n != plan.engine_n:
+        raise ValueError(f"data length {n} != plan engine length {n}")
+    if tb is None:
+        tb = best_tb(n, b) or DEFAULT_TB
+    if b % tb:
+        raise ValueError(f"half-batch {b} must be a multiple of tile {tb}")
+    if scratch is None:
+        scratch = use_scratch(n, tb)
+    call = _build_packed(plan, backward, tb, interpret, b // tb, scratch)
+    return call(y)
+
+
 def stream_copy_pallas(re: jax.Array, im: jax.Array, *, rows: int = 512,
                        tb: int = 512, interpret: bool = False):
     """Pure-copy Pallas pass over [N, B] planes — the per-pass stream

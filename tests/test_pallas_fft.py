@@ -610,3 +610,24 @@ def test_combine_tile_policy():
     mk, tb = pk._combine_tiles(2048, 16, 384, None, None)
     assert tb in (128, 256) and 384 % tb == 0
     assert 2048 % mk == 0
+
+
+def test_packed_input_kernel_matches_planar():
+    """The packed [H, 2B] entry (zero-copy real pack) == planar pair."""
+
+    import jax.numpy as jnp
+
+    from pffft_tpu.ops import dispatch as dp
+    from pffft_tpu.ops import pallas_fft as pk
+    from pffft_tpu.ops import split as sp
+
+    rng = np.random.default_rng(3)
+    n, b = 512, 256
+    plan = dp._thin_plan(n)
+    x = jnp.asarray(rng.standard_normal((2 * n, b)).astype(np.float32))
+    zr, zi = sp.pack_real_input_split_tmajor(x)
+    ar, ai = pk.cfft_pallas_tmajor_packed(
+        plan, x.reshape(n, 2 * b), interpret=True, tb=128)
+    br, bi = pk.cfft_pallas_tmajor(plan, zr, zi, tb=128, interpret=True)
+    assert float(jnp.abs(ar - br).max()) == 0.0
+    assert float(jnp.abs(ai - bi).max()) == 0.0
