@@ -552,6 +552,20 @@ _MEASURED_TABLE: dict = {
     ("tpu", 16384, True): "kern2",
     ("tpu", 32768, True): "kern2",
     ("tpu", 65536, True): "kern2",
+    # non-pow2 (non2{,b}_r5.txt, interleaved >=64 MB plateau): the VPU
+    # kernel's radix-3/5 butterflies outrun the dense XLA chain 2-4x —
+    # 96 0.78 vs 0.42, 160 0.99 vs 0.32, 192 0.52 vs 0.33, 384 0.65 vs
+    # 0.24, 480 0.53 vs 0.18, 768 0.28 vs 0.17, 800 0.60 vs 0.14,
+    # 2400 0.39 vs 0.13.  640's measured tiles didn't divide the probe
+    # batch (xla chain (80, 8) stays); 9216 pending kern2e.
+    ("tpu", 96, True): "pallas",
+    ("tpu", 160, True): "pallas",
+    ("tpu", 192, True): "pallas",
+    ("tpu", 384, True): "pallas",
+    ("tpu", 480, True): "pallas",
+    ("tpu", 768, True): "pallas",
+    ("tpu", 800, True): "pallas",
+    ("tpu", 2400, True): "pallas",
 }
 
 

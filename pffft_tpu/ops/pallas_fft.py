@@ -80,6 +80,12 @@ _TB_PREF = {
     # not listed.
     4096: (512, 256, 128),
     8192: (128,),
+    # non-pow2 measured tiles (non2{,b}_r5.txt); unlisted non-pow2 sizes
+    # fall back to the envelope arithmetic below
+    480: (512, 1024, 2176, 128),
+    768: (256, 1280, 128),
+    800: (640, 1280, 256, 128),
+    2400: (384, 128),
 }
 # For unmeasured lengths: largest lane-tile multiple with n*tb inside the
 # envelope every measured length compiles at (the 1M-element ceiling).

@@ -308,6 +308,16 @@ _TPU_FACTOR_TABLE: dict = {
     131072: (128, 128, 8),
     262144: (128, 128, 16),
     1048576: (256, 256, 16),
+    # non-pow2 XLA-chain winners (non2{,b}_r5.txt, >=64 MB plateau,
+    # interleaved): single dense stage wins through 480; split chains
+    # past it.  (The kernel engine outruns the chain 2-4x at most of
+    # these sizes and is routed via dispatch._MEASURED_TABLE; these
+    # factors serve batch-major and kernel-ineligible batches.)
+    640: (80, 8),
+    768: (48, 16),
+    800: (100, 8),
+    2400: (60, 40),
+    9216: (72, 128),
 }
 
 
