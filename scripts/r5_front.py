@@ -1,9 +1,14 @@
-"""Round-5: front-band attack — kern2 below 8192 + wall tiles re-try.
+"""Round-5: front-band attack — kern2 below 8192.
 
 kern2d_r5's composition law (full two-pass ~ pass A alone in the chained
 loop) suggests N=2048/4096 could ride m=1024's 0.7+ regime instead of
-their direct tiles (0.67/0.48).  Also re-tries the 1024/tb2048 and
-2048/tb1024 wall tiles under interleaved statistics (VERDICT r4 next-3).
+their direct tiles (0.67/0.48).
+
+First attempt (07:00) burned its whole 90-min window with ZERO output:
+the 1024/tb2048 wall-tile validation compile never returned (the known
+stochastic wall-compile stall, CLAUDE.md).  Walls are dropped — r4
+already measured them (2048/tb1024 0.705 vs 0.671, 1024/tb2048 0.696 vs
+0.765: marginal/worse) — and validation now prints per variant.
 
 Run: python scripts/r5_front.py | tee benchmarks/results/front_r5.txt
 """
@@ -34,8 +39,7 @@ def main():
     rng = np.random.default_rng(0)
 
     CASES = {
-        1024: {"walls": (2048,), "confs": ()},
-        2048: {"walls": (1024,), "confs": ((1024, 2), (512, 4))},
+        2048: {"walls": (), "confs": ((1024, 2), (512, 4))},
         4096: {"walls": (), "confs": ((1024, 4), (2048, 2), (512, 8))},
     }
 
@@ -75,6 +79,7 @@ def main():
             + 1j * np.asarray(im[:, :4]).astype(np.float64), axis=0)
         live = {}
         for name, fn in variants.items():
+            print(f"n={n} {name}: validating...", flush=True)
             try:
                 sr, si = jax.jit(fn)(re, im)
                 got = (np.asarray(sr[:, :4]).astype(np.float64)
