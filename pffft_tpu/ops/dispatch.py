@@ -467,6 +467,49 @@ def cfft_kern2_tmajor(
     )
 
 
+def cfft_kern2_tmajor_packed(
+    plan: _plan.Plan,
+    y: jax.Array,
+    *,
+    interpret: bool = False,
+    conf: Optional[Tuple[int, int]] = None,
+):
+    """Two-kernel-pass FFT of a PACKED time-major buffer y [H, 2B]
+    (the real forward's free ``x.reshape(H, 2B)`` — lanes :B re, B: im).
+
+    Pass A reads each DIT slab's re/im tiles straight from the packed
+    buffer's [m, r*2B] wide view (pallas_fft._build_packed slab index
+    maps), so the planar pack never materializes — the HBM pass that a
+    pallas_call input otherwise forces (the lane slices cannot fuse into
+    the kernel the way they fuse into the XLA chain's first einsum)."""
+
+    c = conf if conf is not None else _kern2_conf(plan.engine_n)
+    if c is None:
+        raise ValueError(f"no kern2 configuration for N={plan.engine_n}")
+    built = _build_ksplit(plan.engine_n, *c)
+    if built is None:
+        raise ValueError(f"no kern2 build for N={plan.engine_n} (m,r)={c}")
+    mplan, last = built
+    n, b2 = y.shape
+    b = b2 // 2
+    m, r = mplan.engine_n, last.r
+    # packed tiles must not cross slab boundaries: divisor of b, not r*b
+    # (narrower than the unpacked pass A when b < its tile — the probe
+    # races both compositions)
+    tb = _pk.best_tb(m, b)
+    if tb is None:
+        raise ValueError(f"batch {b}: no kernel tile divides each slab")
+    yw = y.reshape(m, r * 2 * b)
+    ar, ai = _pk.cfft_pallas_tmajor_packed(
+        mplan, yw, tb=tb, interpret=interpret, slabs=r,
+        scratch=_pk.use_scratch(m, tb),
+    )
+    return _pk.cfft_combine_tmajor(
+        last, ar.reshape(n, b), ai.reshape(n, b),
+        backward=False, interpret=interpret,
+    )
+
+
 def available_engines(plan: _plan.Plan, batch: int, time_major: bool) -> Tuple[str, ...]:
     out = ["xla"]
     if (
@@ -739,7 +782,21 @@ def packed_fwd_route(plan: _plan.Plan, batch: int):
 
     if jax.default_backend() != "tpu":
         return None
-    if select_engine(plan, batch, True) != "pallas":
+    engine = select_engine(plan, batch, True)
+    if engine == "kern2":
+        # the two-pass engine's pass A reads the packed wide view
+        # directly (slab index maps) — same one-pass saving
+        conf = _kern2_conf(plan.engine_n)
+        if conf is None:
+            return None
+        built = _build_ksplit(plan.engine_n, *conf)
+        if built is None:
+            return None
+        tb = _pk.best_tb(conf[0], batch)  # per-slab tile (divides batch)
+        if tb is None:
+            return None
+        return lambda y: cfft_kern2_tmajor_packed(plan, y)
+    if engine != "pallas":
         return None
     pplan = _pallas_plan(plan)
     if pplan is None:

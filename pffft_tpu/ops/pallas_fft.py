@@ -708,12 +708,22 @@ def _build_combine_v2(n: int, m: int, r: int, mk: int, tb: int, b: int,
 
 @functools.lru_cache(maxsize=128)
 def _build_packed(plan, backward: bool, tb: int, interpret: bool,
-                  lanes_half: int, scratch: bool):
-    """Kernel build whose re/im input tiles come from ONE packed
-    [n, 2B] buffer at lane offsets 0 and B (the time-major real pack
-    x.reshape(H, 2B) — lanes :B are re, B: are im).  The pack never
-    materializes: the DMA engine pulls each plane's tile straight from
-    the packed buffer.  Outputs planar (no aliasing — shapes differ)."""
+                  lpb: int, scratch: bool, slabs: int = 1,
+                  vmem_limit: int | None = VMEM_LIMIT,
+                  arbitrary_grid: bool = False):
+    """Kernel build whose re/im input tiles come from ONE packed buffer.
+
+    ``slabs=1``: buffer [n, 2B] with re at lanes :B, im at B: (the
+    time-major real pack x.reshape(H, 2B)); ``lpb`` = B//tb lane blocks
+    per plane.  The pack never materializes: the DMA engine pulls each
+    plane's tile straight from the packed buffer.
+
+    ``slabs=r > 1`` (kern2 pass A): buffer [m, r*2B] — the free
+    x.reshape(m, r*2B) wide view of the same pack, where DIT slab j's re
+    lanes sit at [j*2B, j*2B+B) and its im lanes at [j*2B+B, (j+1)*2B).
+    The grid walks slab-major lane tiles; outputs are the PLANAR pass-A
+    state [m, r*B] x2, ready for the combine kernel.  Outputs planar in
+    both modes (no aliasing — input/output shapes differ)."""
 
     n = plan.engine_n
     active = [s for s in plan.stages if s.r != 1]
@@ -726,10 +736,12 @@ def _build_packed(plan, backward: bool, tb: int, interpret: bool,
         spec = pl.BlockSpec((st.l, st.r), lambda j: (0, 0),
                             memory_space=pltpu.VMEM)
         tw_specs.extend([spec, spec])
-    re_spec = pl.BlockSpec((n, tb), lambda j: (0, j),
-                           memory_space=pltpu.VMEM)
-    im_spec = pl.BlockSpec((n, tb), lambda j: (0, j + lanes_half),
-                           memory_space=pltpu.VMEM)
+    re_spec = pl.BlockSpec(
+        (n, tb), lambda j: (0, (j // lpb) * (2 * lpb) + (j % lpb)),
+        memory_space=pltpu.VMEM)
+    im_spec = pl.BlockSpec(
+        (n, tb), lambda j: (0, (j // lpb) * (2 * lpb) + lpb + (j % lpb)),
+        memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((n, tb), lambda j: (0, j),
                             memory_space=pltpu.VMEM)
     scratch_shapes = []
@@ -740,16 +752,19 @@ def _build_packed(plan, backward: bool, tb: int, interpret: bool,
         kernel = _make_kernel(n, plan.stages, backward, 0)
 
     def call(y):
-        b = lanes_half * tb
+        b = slabs * lpb * tb
         grid = (b // tb,)
         out_shape = [
             jax.ShapeDtypeStruct((n, b), jnp.float32),
             jax.ShapeDtypeStruct((n, b), jnp.float32),
         ]
         params = {}
-        if not interpret:
+        if not interpret and (vmem_limit or arbitrary_grid):
             params["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=int(VMEM_LIMIT))
+                vmem_limit_bytes=int(vmem_limit) if vmem_limit else None,
+                dimension_semantics=("arbitrary",) if arbitrary_grid
+                else None,
+            )
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -769,23 +784,36 @@ def _build_packed(plan, backward: bool, tb: int, interpret: bool,
 
 def cfft_pallas_tmajor_packed(
     plan, y: jax.Array, *, backward: bool = False, tb: int | None = None,
-    interpret: bool = False, scratch: bool | None = None,
+    interpret: bool = False, scratch: bool | None = None, slabs: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Complex FFT of a PACKED time-major buffer y [n, 2B] (lanes :B
-    re, B: im — exactly ``x.reshape(H, 2B)`` of an interleaved real
-    stream) -> planar ([n, B]) x2.  The pack costs zero HBM passes."""
+    """Complex FFT of a PACKED time-major buffer -> planar pair.
 
-    n, b2 = y.shape
-    b = b2 // 2
+    slabs=1: y [n, 2B] with lanes :B re, B: im — exactly
+    ``x.reshape(H, 2B)`` of an interleaved real stream -> ([n, B]) x2.
+    slabs=r: y [n, r*2B] — the kern2 pass-A wide view
+    ``x.reshape(m, r*2B)``; each DIT slab's re/im lanes DMA from their
+    packed offsets -> the planar pass-A state ([n, r*B]) x2.
+    The pack costs zero HBM passes either way."""
+
+    n, bw = y.shape
+    b = bw // (2 * slabs)
     if n != plan.engine_n:
         raise ValueError(f"data length {n} != plan engine length {n}")
     if tb is None:
-        tb = best_tb(n, b) or DEFAULT_TB
+        tb = best_tb(n, slabs * b) or DEFAULT_TB
     if b % tb:
         raise ValueError(f"half-batch {b} must be a multiple of tile {tb}")
     if scratch is None:
         scratch = use_scratch(n, tb)
-    call = _build_packed(plan, backward, tb, interpret, b // tb, scratch)
+    vmem_limit, arbitrary_grid = VMEM_LIMIT, False
+    if is_wall_tile(n, tb):
+        # the reliable wall config (wall_r4.txt): no grid double-buffer,
+        # limit at 127 MB, scratch chain
+        arbitrary_grid = True
+        scratch = True
+        vmem_limit = WALL_VMEM_LIMIT
+    call = _build_packed(plan, backward, tb, interpret, b // tb, scratch,
+                         slabs, vmem_limit, arbitrary_grid)
     return call(y)
 
 

@@ -39,6 +39,9 @@ def main():
     rng = np.random.default_rng(0)
 
     CASES = {
+        # 512's _TB_PREF (384,256,128) is r3-era — predates the VMEM
+        # raise; neighbours ride tb=1024 at 0.77-0.86.  Race wide tiles.
+        512: {"walls": (), "confs": (), "tiles": (2048, 1024, 512)},
         2048: {"walls": (), "confs": ((1024, 2), (512, 4))},
         4096: {"walls": (), "confs": ((1024, 4), (2048, 2), (512, 8))},
     }
@@ -58,6 +61,13 @@ def main():
             lambda r, i, tb=tb0: pk.cfft_pallas_tmajor(
                 pplan, r, i, backward=False, tb=tb,
                 scratch=pk.use_scratch(n, tb)))
+        for tb in case.get("tiles", ()):
+            if b % tb or tb == tb0 or pk.is_wall_tile(n, tb):
+                continue
+            variants[f"direct_tb{tb}"] = (
+                lambda r, i, tb=tb: pk.cfft_pallas_tmajor(
+                    pplan, r, i, backward=False, tb=tb,
+                    scratch=pk.use_scratch(n, tb)))
         for tb in case["walls"]:
             if b % tb:
                 continue

@@ -631,3 +631,26 @@ def test_packed_input_kernel_matches_planar():
     br, bi = pk.cfft_pallas_tmajor(plan, zr, zi, tb=128, interpret=True)
     assert float(jnp.abs(ar - br).max()) == 0.0
     assert float(jnp.abs(ai - bi).max()) == 0.0
+
+
+@pytest.mark.parametrize("n,conf", [(1024, (128, 8)), (640, (128, 5))])
+def test_packed_kern2_matches_pack_plus_kern2(n, conf):
+    """The packed [H, 2B] kern2 entry (pass-A slab index maps) == the
+    planar pack followed by the two-pass engine, bit for bit."""
+
+    import jax.numpy as jnp
+
+    import pffft_tpu as pf
+    from pffft_tpu.ops import dispatch as dp
+    from pffft_tpu.ops import split as sp
+
+    rng = np.random.default_rng(5)
+    b = 256
+    plan = pf.new_setup(n, pf.COMPLEX, strict=False)
+    x = jnp.asarray(rng.standard_normal((2 * n, b)).astype(np.float32))
+    zr, zi = sp.pack_real_input_split_tmajor(x)
+    ar, ai = dp.cfft_kern2_tmajor_packed(
+        plan, x.reshape(n, 2 * b), conf=conf, interpret=True)
+    br, bi = dp.cfft_kern2_tmajor(plan, zr, zi, conf=conf, interpret=True)
+    assert float(jnp.abs(ar - br).max()) == 0.0
+    assert float(jnp.abs(ai - bi).max()) == 0.0
