@@ -387,10 +387,15 @@ def cfft_ksplit2_tmajor(
 # 0.244-0.258 SoL vs xla's 0.135-0.162 — 1.5-1.7x; at 8192 it also beats
 # the direct tb128 scratch kernel, 0.258 vs 0.206).
 _KERN2_CONF: dict = {
+    # kern2d_r5.txt + kern2e_r5.txt interleaved races (>=64 MB plateau):
+    # smaller m with a fatter combine wins — the radix-32 butterfly
+    # (4 x radix-8 + twiddled radix-4 recombine) lets 32768/65536 ride
+    # the m<=2048 wide-tile pass A (0.264/0.250 vs 0.249/0.225 for the
+    # m=2048/4096 r=16 confs).
     8192: (1024, 8),
     16384: (2048, 8),
-    32768: (2048, 16),
-    65536: (4096, 16),
+    32768: (1024, 32),
+    65536: (2048, 32),
 }
 
 
