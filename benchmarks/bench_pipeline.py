@@ -163,6 +163,19 @@ def main():
              msamp_s_best=round(in_samps / tb / 1e6, 1), sol=sol,
              bw_artifact=sol > 1)
 
+        # channel-major output entry (r5): frames born [M, ..., K], no
+        # output transposes — the layout a time-major consumer keeps
+        def chan_step_tm(r, i):
+            (yr, yi), _ = ch.process_split_tmajor(state, r, i)
+            return yr.reshape(r.shape), yi.reshape(i.shape)
+
+        t, tb = best_of(chan_step_tm, (sr, si))
+        sol = round((4 * in_samps * 4 / bw) / t, 3)
+        emit(bench="channelizer_tmajor", channels=m, taps_per_channel=p,
+             batch=batch, msamp_s=round(in_samps / t / 1e6, 1),
+             msamp_s_best=round(in_samps / tb / 1e6, 1), sol=sol,
+             bw_artifact=sol > 1)
+
     # --- STFT: Msamples/s (spectral.py; beyond-parity surface, measured
     # so the archive covers it)
     if want("stft"):
@@ -187,6 +200,22 @@ def main():
         stft_bytes = tot * (4 + 8 * (n_fft // 2) / hop)
         sol = round((stft_bytes / bw) / t, 3)
         emit(bench="stft", n_fft=n_fft, hop=hop, samples=tot,
+             msamp_s=round(tot / t / 1e6, 1),
+             msamp_s_best=round(tot / tb / 1e6, 1), sol=sol,
+             bw_artifact=sol > 1)
+
+        # channel-major output entry (r5): spectra born [H, ..., K], no
+        # output moveaxis hops — the layout a spectral pipeline keeps
+        from pffft_tpu.spectral import stft_split_tmajor
+
+        def stft_step_tm(v):
+            sr, si = stft_split_tmajor(v, n_fft, hop)
+            s = (jnp.sum(sr * sr + si * si) * np.float32(1e-12)).astype(v.dtype)
+            return (v + s,)
+
+        t, tb = best_of(stft_step_tm, (xs,))
+        sol = round((stft_bytes / bw) / t, 3)
+        emit(bench="stft_tmajor", n_fft=n_fft, hop=hop, samples=tot,
              msamp_s=round(tot / t / 1e6, 1),
              msamp_s_best=round(tot / tb / 1e6, 1), sol=sol,
              bw_artifact=sol > 1)

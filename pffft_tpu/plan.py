@@ -541,6 +541,13 @@ class Plan:
                 chain = plan_factors(engine_n, max_factor=max_factor)
                 if len(chain) <= 4 and min(chain) >= 64:
                     use_split = False
+                elif dtype == np.float64 and max(chain) <= 128:
+                    # f64: the df64 MXU engine requires a plain chain with
+                    # r <= 128 (ops/dispatch._df64_route); the alternative
+                    # is 3-5 GF/s soft-float (sweep_r4_f64.csv) vs 37+ on
+                    # df64 — any eligible chain wins, the f32-measured
+                    # chain-vs-split heuristic does not apply
+                    use_split = False
             except ValueError:  # pragma: no cover
                 pass
         if use_split:

@@ -91,17 +91,27 @@ def main():
         trials = {k: [] for k in live}
         for _ in range(ROUNDS):
             for k in live:
-                trials[k].append(bench_op(variants[k], (re, im), k1=4, k2=20))
+                try:  # transient service read errors must not kill the run
+                    trials[k].append(
+                        bench_op(variants[k], (re, im), k1=4, k2=20))
+                except Exception as e:
+                    print(f"  n={n} {k}: trial FAIL {type(e).__name__}"[:120],
+                          flush=True)
         flops = 5.0 * b * n * math.log2(n)
         sol_t = 4 * b * n * 4 / SPEC_BW
-        base = sorted(trials["xla"])[ROUNDS // 2]
+        if not trials.get("xla"):
+            print(f"n={n}: xla baseline has no trials, skipping", flush=True)
+            continue
+        base = sorted(trials["xla"])[len(trials["xla"]) // 2]
         for k in live:
             ts = sorted(trials[k])
+            if not ts:
+                continue
             med = ts[len(ts) // 2]
             wins = sum(1 for a, x in zip(trials[k], trials["xla"]) if a < x)
             print(f"  n={n} {k:9s} med {flops/med/1e9:7.1f} GF/s "
                   f"(SoL {sol_t/med:.3f}, {base/med:.2f}x xla, "
-                  f"wins {wins}/{ROUNDS}) trials "
+                  f"wins {wins}/{len(trials[k])}) trials "
                   f"{[round(flops/t/1e9) for t in trials[k]]}", flush=True)
 
 

@@ -113,10 +113,21 @@ def main():
                       flush=True)
 
         print(f"n={n} h={h} b={b} live={list(live)}", flush=True)
+
+        # bench_op chains outputs back to inputs — wrap to shape-
+        # preserving forms (axis-0 concat/slice are free placement)
+        def chainable(name, fn):
+            if name.startswith("fwd"):
+                return lambda v: jnp.concatenate(fn(v), axis=0)
+            return lambda sr_, si_: (
+                lambda y: (y[:h], y[h:]))(fn(sr_, si_))
+
+        timed = {k: (live[k][0], chainable(k, live[k][1]), live[k][2])
+                 for k in live}
         trials = {k: [] for k in live}
         for _ in range(ROUNDS):
             for k in live:
-                sol, fn, data = live[k]
+                sol, fn, data = timed[k]
                 try:
                     trials[k].append(bench_op(fn, data, k1=4, k2=20))
                 except Exception as e:
