@@ -1135,12 +1135,31 @@ def pack_real_input_split_tmajor(x: jax.Array) -> SplitPair:
 
 
 def _reverse_conj_split_tmajor(zr: jax.Array, zi: jax.Array) -> SplitPair:
-    """y[k] = conj(z[(H - k) mod H]) along axis 0."""
+    """y[k] = conj(z[(H - k) mod H]) along axis 0.
 
-    return (
-        jnp.concatenate([zr[:1], zr[::-1][:-1]], axis=0),
-        -jnp.concatenate([zi[:1], zi[::-1][:-1]], axis=0),
-    )
+    BLOCKED form (r5): reshape to [H/k, k, B], reverse BOTH leading axes
+    (sublane-block relayout), then roll by one row for the mod-H shift —
+    measured 4x the concat form at H=8192 (realanat_r5.txt: 0.032 vs
+    0.136 ms; the concat([z[:1], z[::-1][:-1]]) form materializes the
+    reversed copy AND the concat).  Exact: roll(flip(z), 1)[k] =
+    flip(z)[k-1] = z[H-k] for k >= 1, and [0] = flip(z)[H-1] = z[0]."""
+
+    h, b = zr.shape[0], zr.shape[-1]
+    k = 1
+    while k < 64 and h % (2 * k) == 0:
+        k *= 2
+    if k == 1:  # odd H: keep the concat form (rare, small)
+        return (
+            jnp.concatenate([zr[:1], zr[::-1][:-1]], axis=0),
+            -jnp.concatenate([zi[:1], zi[::-1][:-1]], axis=0),
+        )
+    shape = zr.shape
+
+    def flip(v):
+        w = v.reshape(h // k, k, -1)[::-1, ::-1].reshape(shape)
+        return jnp.roll(w, 1, axis=0)
+
+    return flip(zr), -flip(zi)
 
 
 def real_forward_split_planar_tmajor(zr, zi, real_twiddle: np.ndarray) -> SplitPair:
