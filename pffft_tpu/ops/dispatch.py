@@ -616,6 +616,14 @@ _MEASURED_TABLE: dict = {
     ("tpu", 2400, True): "pallas",
 }
 
+# Real-plan override rows (consulted before _MEASURED_TABLE when
+# plan.is_real): the REAL composition's pack/split-step neighbours fuse
+# into the XLA chain's einsums but NOT across pallas_call boundaries, so
+# the engine race can flip vs the bare complex transform at the same H
+# (realroute_r5.txt: complex kern2 wins 0.27 vs 0.22 at H=8192 but the
+# real pair LOSES 0.065 vs 0.086).  Filled from realpack_r5.txt.
+_MEASURED_TABLE_REAL: dict = {}
+
 
 _TABLE_VERSION = 0
 
@@ -739,6 +747,18 @@ def record_engine(backend: str, n: int, engine: str, time_major: bool = False) -
     if engine not in _ENGINES:
         raise ValueError(f"unknown engine {engine!r}")
     _MEASURED_TABLE[(backend, int(n), bool(time_major))] = engine
+    _TABLE_VERSION += 1
+
+
+def record_engine_real(backend: str, n: int, engine: str,
+                       time_major: bool = False) -> None:
+    """Record a REAL-composition winner (overrides the complex row when
+    the dispatched plan is a real transform's half-length engine)."""
+
+    global _TABLE_VERSION
+    if engine not in _ENGINES:
+        raise ValueError(f"unknown engine {engine!r}")
+    _MEASURED_TABLE_REAL[(backend, int(n), bool(time_major))] = engine
     _TABLE_VERSION += 1
 
 
@@ -899,8 +919,20 @@ def select_engine(plan: _plan.Plan, batch: int, time_major: bool) -> str:
     # the measured default: the XLA stage path wins everywhere else on
     # current hardware (engines_r3.csv; the fused kernel's concat matmuls
     # cost 4/3 the MXU work — see benchmarks/results/)
+    backend = jax.default_backend()
+    if plan.is_real:
+        # the REAL composition can prefer a different engine than the
+        # bare complex transform at the same engine length: its pack /
+        # split-step neighbours fuse into XLA chains but not into
+        # pallas_call boundaries (realroute_r5.txt) — a real-specific
+        # row wins over the complex row when present
+        measured = _MEASURED_TABLE_REAL.get(
+            (backend, plan.engine_n, bool(time_major))
+        )
+        if measured is not None and measured in avail:
+            return measured
     measured = _MEASURED_TABLE.get(
-        (jax.default_backend(), plan.engine_n, bool(time_major))
+        (backend, plan.engine_n, bool(time_major))
     )
     if measured is not None and measured in avail:
         return measured

@@ -633,6 +633,31 @@ def test_packed_input_kernel_matches_planar():
     assert float(jnp.abs(ai - bi).max()) == 0.0
 
 
+def test_real_measured_table_overrides_complex_row():
+    """A real-plan row in _MEASURED_TABLE_REAL wins over the complex row
+    at the same engine length; complex plans never see it."""
+
+    import jax
+
+    import pffft_tpu as pf
+    from pffft_tpu.ops import dispatch as dp
+
+    h = 256
+    rplan = pf.new_setup(2 * h, pf.REAL)
+    cplan = pf.new_setup(h, pf.COMPLEX)
+    backend = jax.default_backend()
+    assert "pallas" in dp.available_engines(cplan, 1024, True)
+    dp.record_engine(backend, h, "pallas", time_major=True)
+    dp.record_engine_real(backend, h, "xla", time_major=True)
+    try:
+        assert dp.select_engine(cplan, 1024, True) == "pallas"
+        assert dp.select_engine(rplan, 1024, True) == "xla"
+    finally:
+        del dp._MEASURED_TABLE[(backend, h, True)]
+        del dp._MEASURED_TABLE_REAL[(backend, h, True)]
+        dp._TABLE_VERSION += 1
+
+
 @pytest.mark.parametrize("n,conf", [(1024, (128, 8)), (640, (128, 5))])
 def test_packed_kern2_matches_pack_plus_kern2(n, conf):
     """The packed [H, 2B] kern2 entry (pass-A slab index maps) == the
