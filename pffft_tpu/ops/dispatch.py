@@ -604,13 +604,16 @@ _MEASURED_TABLE: dict = {
     # kernel's radix-3/5 butterflies outrun the dense XLA chain 2-4x —
     # 96 0.78 vs 0.42, 160 0.99 vs 0.32, 192 0.52 vs 0.33, 384 0.65 vs
     # 0.24, 480 0.53 vs 0.18, 768 0.28 vs 0.17, 800 0.60 vs 0.14,
-    # 2400 0.39 vs 0.13.  640's measured tiles didn't divide the probe
-    # batch (xla chain (80, 8) stays); 9216 pending kern2e.
+    # 2400 0.39 vs 0.13.  640 raced at a tile-divisible batch in
+    # non2c_r5.txt: tb768 0.763 med vs xla (80,8) 0.172 (4.4x).  9216
+    # has no kernel tile (n*tb > 1M) and its kern2 confs lose to the
+    # xla chain (kern2e_r5.txt: (3072,3) 0.145 vs 0.222) — xla stays.
     ("tpu", 96, True): "pallas",
     ("tpu", 160, True): "pallas",
     ("tpu", 192, True): "pallas",
     ("tpu", 384, True): "pallas",
     ("tpu", 480, True): "pallas",
+    ("tpu", 640, True): "pallas",
     ("tpu", 768, True): "pallas",
     ("tpu", 800, True): "pallas",
     ("tpu", 2400, True): "pallas",

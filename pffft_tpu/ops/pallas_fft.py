@@ -83,6 +83,7 @@ _TB_PREF = {
     # non-pow2 measured tiles (non2{,b}_r5.txt); unlisted non-pow2 sizes
     # fall back to the envelope arithmetic below
     480: (512, 1024, 2176, 128),
+    640: (768, 1536, 384, 128),
     768: (256, 1280, 128),
     800: (640, 1280, 256, 128),
     2400: (384, 128),
