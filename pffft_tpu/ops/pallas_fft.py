@@ -69,7 +69,10 @@ DEFAULT_TB = 128  # batch columns per grid step (one f32 lane tile)
 _TB_PREF = {
     128: (512, 2048, 1024, 256, 128),
     256: (1024, 512, 256, 128),
-    512: (384, 256, 128),
+    # 512's r3-era tiles predate the VMEM-limit raise; front_r5.txt
+    # (b=32768, 8 interleaved trials): tb512 0.801 med, tb1024 0.751,
+    # tb2048 0.750, tb256 0.538 — the old routed tb256 left 1.5x
+    512: (512, 1024, 2048, 384, 256, 128),
     1024: (1024, 512, 256, 128),
     2048: (512, 256, 128),
     # tb=512 is a WALL tile (2M elements): ships in the arb127 config
