@@ -396,6 +396,10 @@ _KERN2_CONF: dict = {
     16384: (2048, 8),
     32768: (1024, 32),
     65536: (2048, 32),
+    # upper_r5.txt: (4096, 32) with the tb512 wall-tile pass A measures
+    # 0.264 med SoL vs the 3-stage xla chain's 0.086 (3.1x) — the
+    # two-pass engine's reach extends one octave past the band
+    131072: (4096, 32),
 }
 
 
@@ -600,6 +604,9 @@ _MEASURED_TABLE: dict = {
     ("tpu", 16384, True): "kern2",
     ("tpu", 32768, True): "kern2",
     ("tpu", 65536, True): "kern2",
+    # one octave past the band (upper_r5.txt): kern2 (4096,32) wall-tile
+    # pass A 0.264 med vs xla 0.086 (3.1x)
+    ("tpu", 131072, True): "kern2",
     # non-pow2 (non2{,b}_r5.txt, interleaved >=64 MB plateau): the VPU
     # kernel's radix-3/5 butterflies outrun the dense XLA chain 2-4x —
     # 96 0.78 vs 0.42, 160 0.99 vs 0.32, 192 0.52 vs 0.33, 384 0.65 vs
