@@ -65,13 +65,16 @@ def _slice_dtype():
     )
 import os as _os
 
-# Slice/term budget.  Defaults deliver ~2^-49 (282 dB measured on chip,
-# df64_r5.txt) — two orders past the 215 dB bound.  PFFFT_TPU_DF64_TAU
-# trades tail accuracy for fewer MXU passes (TAU=6 -> 21 matmuls, tail
-# ~2^-42 = 255 dB; TAU=5 -> 15, ~2^-35 = 211 dB which FAILS the bound).
-DF_CHUNKS = int(_os.environ.get("PFFFT_TPU_DF64_CHUNKS", "7"))
+# Slice/term budget.  Default TAU=6 (21 matmuls/stage) measured on chip:
+# 242.1 dB at N=4096, 240.2 at 32768, 239.2 at 262144 (df64b_r5.txt,
+# df64c_r5.txt) — a stable ~24 dB margin over the 215 dB f64 bound at
+# 1.15-1.27x the TAU=7 throughput.  PFFFT_TPU_DF64_TAU=7 (28 matmuls)
+# restores the ~281 dB setting; TAU=5 measures 197.7 dB and FAILS the
+# bound.  DF_CHUNKS=6 matches (the tail is tau-limited: 6/6 and 6/7
+# measure the same 242.1 dB; 6/6 peels one fewer digit).
+DF_CHUNKS = int(_os.environ.get("PFFFT_TPU_DF64_CHUNKS", "6"))
 MAT_CHUNKS = max(DF_CHUNKS, 8)  # matrix slices (host f64 tables): 56 bits
-TAU = int(_os.environ.get("PFFFT_TPU_DF64_TAU", "7"))
+TAU = int(_os.environ.get("PFFFT_TPU_DF64_TAU", "6"))
 
 
 # ---------------------------------------------------------------------------
