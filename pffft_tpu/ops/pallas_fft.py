@@ -41,6 +41,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -404,6 +405,287 @@ def _make_kernel_scratch(n: int, stages: Sequence, backward: bool):
             src = dst
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# In-kernel reversal (round 5).  Mosaic has no `rev` lowering, but
+# reversal = XOR of the index with (n-1), and XOR with one bit s is
+# y[i] = x[i XOR s] = select(bit s of i, roll(x, s), roll(x, -s)) —
+# log2(n) roll-pairs + selects, all VMEM-resident.  Measured on chip
+# (revroll_r5.txt): lowers on BOTH axes, bit-exact, and the full [8192,
+# 1024] sublane-reversal kernel runs AT the stream-copy ceiling (0.438
+# vs 0.42) — the network is free next to the HBM traffic.  This unlocks
+# the fused real transform below (the reference's REAL_FINALIZE /
+# REAL_PREPROCESS folded into the SIMD pipeline,
+# /root/reference/src/pffft_priv_impl.h:1273-1462).
+# ---------------------------------------------------------------------------
+
+
+def _rev_roll(x, n: int, axis: int):
+    """Reverse pow2-sized ``axis`` of x via the XOR roll network."""
+
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    s = 1
+    while s < n:
+        hi = pltpu.roll(x, (n - s) % n, axis)   # x[i + s]
+        lo = pltpu.roll(x, s, axis)             # x[i - s]
+        x = jnp.where((idx & s) != 0, lo, hi)
+        s *= 2
+    return x
+
+
+def _mirror_rows(x, n: int):
+    """y[k] = x[(n - k) % n] along axis 0 (rev network + roll by one)."""
+
+    return pltpu.roll(_rev_roll(x, n, 0), 1, 0)
+
+
+def _make_kernel_real_fused(n: int, stages: Sequence, backward: bool,
+                            scratch: bool):
+    """FFT chain + real split step in ONE kernel ([n, tb] blocks).
+
+    Forward: half-length complex FFT stages, then the REAL_FINALIZE
+    combine (flat form of split.real_forward_split_planar_tmajor_flat)
+    with the Hermitian mirror done in-VMEM via the roll network — the
+    packed real spectrum leaves in the same HBM pass as the transform.
+    Backward: the REAL_PREPROCESS combine on the input spectrum, then
+    the backward stages (planar output pair; the caller interleaves).
+    ``wr``/``wi`` arrive as [n, 1] refs (the real split twiddles)."""
+
+    sign = 1.0 if backward else -1.0
+    active = [s for s in stages if s.r != 1]
+    ns = len(active)
+
+    def fwd_split(zr, zi, wr, wi):
+        a = 0.5 * (1.0 + wi)
+        b = 0.5 * wr
+        c = 0.5 * (1.0 - wi)
+        fr = _mirror_rows(zr, n)
+        fi = _mirror_rows(zi, n)
+        xr = a * zr + b * zi + c * fr + b * fi
+        xi = -b * zr + a * zi + b * fr - c * fi
+        is0 = lax.broadcasted_iota(jnp.int32, zr.shape, 0) == 0
+        return (
+            jnp.where(is0, zr + zi, xr),
+            jnp.where(is0, zr - zi, xi),
+        )
+
+    def bwd_prep(sr, si, wr, wi):
+        fsr = _mirror_rows(sr, n)
+        fsi = _mirror_rows(si, n)
+        is0 = lax.broadcasted_iota(jnp.int32, sr.shape, 0) == 0
+        xar = sr
+        xai = jnp.where(is0, 0.0, si)
+        xbr = jnp.where(is0, si, fsr)
+        xbi = jnp.where(is0, 0.0, fsi)
+        p = 1.0 + wi
+        q = 1.0 - wi
+        r_ = wr
+        zr = p * xar - r_ * xai + q * xbr - r_ * xbi
+        zi = r_ * xar + p * xai - r_ * xbr - q * xbi
+        return zr, zi
+
+    def run_chain(ar, ai, tw):
+        ar = ar.reshape(1, n, ar.shape[-1])
+        ai = ai.reshape(1, n, ai.shape[-1])
+        for idx, st in enumerate(active):
+            twr, twi = tw[2 * idx], tw[2 * idx + 1]
+            if backward:
+                twi = -twi
+            ar, ai = _stage_values(ar, ai, st.l, st.r, st.m, twr, twi, sign)
+        tb = ar.shape[-1]
+        return ar.reshape(n, tb), ai.reshape(n, tb)
+
+    def kernel(*refs):
+        tw = [r_[:] for r_ in refs[: 2 * ns]]
+        wr_ref, wi_ref = refs[2 * ns], refs[2 * ns + 1]
+        re_ref, im_ref, or_ref, oi_ref = refs[2 * ns + 2 : 2 * ns + 6]
+        scr = refs[2 * ns + 6 :]
+        wr = wr_ref[:]                     # [n, 1] broadcast over lanes
+        wi = wi_ref[:]
+        if backward:
+            zr, zi = bwd_prep(re_ref[:], im_ref[:], wr, wi)
+            if scratch:
+                # stage the prepped planes through scratch so the chain
+                # reads refs (capped live set), not giant SSA values
+                scr[0][:] = zr
+                scr[1][:] = zi
+                src = (scr[0], scr[1])
+                tb = zr.shape[-1]
+                for idx, st in enumerate(active):
+                    twr, twi = tw[2 * idx], -tw[2 * idx + 1]
+                    ar = src[0][:].reshape(st.l, st.r * st.m, tb)
+                    ai = src[1][:].reshape(st.l, st.r * st.m, tb)
+                    ar, ai = _stage_values(
+                        ar, ai, st.l, st.r, st.m, twr, twi, sign)
+                    dst = (
+                        (or_ref, oi_ref)
+                        if (ns - 1 - idx) % 2 == 0
+                        else (scr[2], scr[3])
+                    )
+                    dst[0][:] = ar.reshape(n, tb)
+                    dst[1][:] = ai.reshape(n, tb)
+                    src = dst
+            else:
+                ar, ai = run_chain(zr, zi, tw)
+                or_ref[:] = ar
+                oi_ref[:] = ai
+            return
+        if scratch:
+            src = (re_ref, im_ref)
+            tb = re_ref.shape[-1]
+            for idx, st in enumerate(active):
+                twr, twi = tw[2 * idx], tw[2 * idx + 1]
+                ar = src[0][:].reshape(st.l, st.r * st.m, tb)
+                ai = src[1][:].reshape(st.l, st.r * st.m, tb)
+                ar, ai = _stage_values(
+                    ar, ai, st.l, st.r, st.m, twr, twi, sign)
+                dst = (scr[0], scr[1]) if idx % 2 == 0 else (scr[2], scr[3])
+                dst[0][:] = ar.reshape(n, tb)
+                dst[1][:] = ai.reshape(n, tb)
+                src = dst
+            zr, zi = src[0][:], src[1][:]
+        else:
+            zr, zi = run_chain(re_ref[:], im_ref[:], tw)
+        xr, xi = fwd_split(zr, zi, wr, wi)
+        or_ref[:] = xr
+        oi_ref[:] = xi
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=128)
+def _build_real_fused(plan, backward: bool, tb: int, interpret: bool,
+                      lpb: int, scratch: bool, twr_b: bytes, twi_b: bytes,
+                      vmem_limit: int | None, arbitrary_grid: bool):
+    n = plan.engine_n
+    active = [s for s in plan.stages if s.r != 1]
+    tw_inputs = []
+    tw_specs = []
+    for st in active:
+        tw = st.twiddle
+        tw_inputs.append(np.ascontiguousarray(tw.real, dtype=np.float32))
+        tw_inputs.append(np.ascontiguousarray(tw.imag, dtype=np.float32))
+        spec = pl.BlockSpec((st.l, st.r), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+        tw_specs.extend([spec, spec])
+    wr = np.frombuffer(twr_b, dtype=np.float32).reshape(n, 1)
+    wi = np.frombuffer(twi_b, dtype=np.float32).reshape(n, 1)
+    w_spec = pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n, tb), lambda j: (0, j),
+                            memory_space=pltpu.VMEM)
+    if backward:
+        re_spec = im_spec = out_spec        # planar spectrum inputs
+    else:
+        # packed real input: re at lane blocks [0, lpb), im at [lpb, 2lpb)
+        re_spec = pl.BlockSpec((n, tb), lambda j: (0, j),
+                               memory_space=pltpu.VMEM)
+        im_spec = pl.BlockSpec((n, tb), lambda j: (0, j + lpb),
+                               memory_space=pltpu.VMEM)
+    kernel = _make_kernel_real_fused(n, plan.stages, backward, scratch)
+    scratch_shapes = (
+        [pltpu.VMEM((n, tb), jnp.float32)] * 4 if scratch else []
+    )
+
+    def call(*args):
+        b = lpb * tb
+        grid = (b // tb,)
+        out_shape = [
+            jax.ShapeDtypeStruct((n, b), jnp.float32),
+            jax.ShapeDtypeStruct((n, b), jnp.float32),
+        ]
+        params = {}
+        if not interpret and (vmem_limit or arbitrary_grid):
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(vmem_limit) if vmem_limit else None,
+                dimension_semantics=("arbitrary",) if arbitrary_grid
+                else None,
+            )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[*tw_specs, w_spec, w_spec, re_spec, im_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            scratch_shapes=scratch_shapes,
+            cost_estimate=pl.CostEstimate(
+                flops=int(8 * n * math.log2(max(n, 2)) * b + 16 * n * b),
+                bytes_accessed=4 * 4 * n * b, transcendentals=0),
+            **params,
+        )(*[jnp.asarray(t) for t in tw_inputs],
+          jnp.asarray(wr), jnp.asarray(wi), *args)
+
+    return call
+
+
+def rfft_pallas_tmajor_fused(
+    plan, y: jax.Array, real_twiddle, *, tb: int | None = None,
+    interpret: bool = False, scratch: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """ONE-pass real forward: packed [H, 2B] buffer (the free
+    ``x.reshape(H, 2B)`` of the interleaved real stream) -> packed real
+    spectrum planes ([H, B]) x2.  FFT stages + REAL_FINALIZE split in a
+    single HBM pass; requires pow2 H (the roll-network mirror)."""
+
+    n, b2 = y.shape
+    b = b2 // 2
+    if n & (n - 1):
+        raise ValueError(f"fused real kernel needs pow2 H, got {n}")
+    if tb is None:
+        tb = best_tb(n, b) or DEFAULT_TB
+    if b % tb:
+        raise ValueError(f"half-batch {b} must be a multiple of tile {tb}")
+    if scratch is None:
+        scratch = use_scratch(n, tb)
+    vmem_limit, arbitrary_grid = VMEM_LIMIT, False
+    if is_wall_tile(n, tb):
+        arbitrary_grid = True
+        scratch = True
+        vmem_limit = WALL_VMEM_LIMIT
+    from . import split as _split
+
+    twr, twi = _split._split_real_tw(real_twiddle)
+    call = _build_real_fused(
+        plan, False, tb, interpret, b // tb, scratch,
+        np.ascontiguousarray(twr, np.float32).tobytes(),
+        np.ascontiguousarray(twi, np.float32).tobytes(),
+        vmem_limit, arbitrary_grid)
+    return call(y, y)
+
+
+def rfft_bwd_pallas_tmajor_fused(
+    plan, sr: jax.Array, si: jax.Array, real_twiddle, *,
+    tb: int | None = None, interpret: bool = False,
+    scratch: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """ONE-pass real backward core: packed spectrum planes [H, B] x2 ->
+    the planar pre-interleave pair ([H, B]) x2 (REAL_PREPROCESS split +
+    backward FFT stages fused; caller interleaves to [N, B])."""
+
+    n, b = sr.shape
+    if n & (n - 1):
+        raise ValueError(f"fused real kernel needs pow2 H, got {n}")
+    if tb is None:
+        tb = best_tb(n, b) or DEFAULT_TB
+    if b % tb:
+        raise ValueError(f"batch {b} must be a multiple of tile {tb}")
+    if scratch is None:
+        scratch = use_scratch(n, tb)
+    vmem_limit, arbitrary_grid = VMEM_LIMIT, False
+    if is_wall_tile(n, tb):
+        arbitrary_grid = True
+        scratch = True
+        vmem_limit = WALL_VMEM_LIMIT
+    from . import split as _split
+
+    twr, twi = _split._split_real_tw(real_twiddle)
+    call = _build_real_fused(
+        plan, True, tb, interpret, b // tb, scratch,
+        np.ascontiguousarray(twr, np.float32).tobytes(),
+        np.ascontiguousarray(twi, np.float32).tobytes(),
+        vmem_limit, arbitrary_grid)
+    return call(sr, si)
 
 
 def supported(plan: _plan.Plan) -> bool:

@@ -633,6 +633,51 @@ def test_packed_input_kernel_matches_planar():
     assert float(jnp.abs(ai - bi).max()) == 0.0
 
 
+@pytest.mark.parametrize("n", [512, 2048])
+def test_fused_real_kernel_matches_composed(n):
+    """One-pass fused real fwd/bwd (FFT chain + split via the roll-network
+    mirror) == packed kernel + flat jnp split, within fp32 tolerance."""
+
+    import jax.numpy as jnp
+
+    import pffft_tpu as pf
+    from pffft_tpu.ops import dispatch as dp
+    from pffft_tpu.ops import pallas_fft as pk
+    from pffft_tpu.ops import split as sp
+
+    rng = np.random.default_rng(9)
+    h, b = n // 2, 256
+    rplan = pf.new_setup(n, pf.REAL)
+    pplan = dp._thin_plan(h)
+    x = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
+    y = x.reshape(h, 2 * b)
+
+    # forward: fused vs pack + kernel + flat split
+    fr, fi = pk.rfft_pallas_tmajor_fused(
+        pplan, y, rplan.real_twiddle, tb=128, interpret=True)
+    zr, zi = sp.pack_real_input_split_tmajor(x)
+    kr, ki = pk.cfft_pallas_tmajor(pplan, zr, zi, tb=128, interpret=True)
+    er, ei = sp.real_forward_split_planar_tmajor_flat(
+        kr, ki, rplan.real_twiddle)
+    scale = float(jnp.abs(er).max())
+    assert float(jnp.abs(fr - er).max()) < 1e-5 * scale
+    assert float(jnp.abs(fi - ei).max()) < 1e-5 * scale
+
+    # backward: fused vs flat split + kernel
+    br, bi = pk.rfft_bwd_pallas_tmajor_fused(
+        pplan, fr, fi, rplan.real_twiddle, tb=128, interpret=True)
+    pr, pi = sp.real_backward_split_planar_tmajor_flat(
+        er, ei, rplan.real_twiddle)
+    qr, qi = pk.cfft_pallas_tmajor(
+        pplan, pr, pi, backward=True, tb=128, interpret=True)
+    scale = float(jnp.abs(qr).max())
+    assert float(jnp.abs(br - qr).max()) < 1e-5 * scale
+    assert float(jnp.abs(bi - qi).max()) < 1e-5 * scale
+    # roundtrip: interleave(bwd(fwd(x))) == 2 * H * x (engine conventions)
+    xr = sp.interleave_to_real_split_tmajor(br, bi)
+    assert float(jnp.abs(xr / n - x).max()) < 1e-4
+
+
 def test_real_measured_table_overrides_complex_row():
     """A real-plan row in _MEASURED_TABLE_REAL wins over the complex row
     at the same engine length; complex plans never see it."""
