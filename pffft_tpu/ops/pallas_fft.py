@@ -637,7 +637,10 @@ def rfft_pallas_tmajor_fused(
     if b % tb:
         raise ValueError(f"half-batch {b} must be a multiple of tile {tb}")
     if scratch is None:
-        scratch = use_scratch(n, tb)
+        # ALWAYS scratch: the split step's mirror/FMA adds live values on
+        # top of the chain — the unrolled form stalled the remote compile
+        # at (1024, tb1024) where the plain chain compiles (fusedreal r5)
+        scratch = True
     vmem_limit, arbitrary_grid = VMEM_LIMIT, False
     if is_wall_tile(n, tb):
         arbitrary_grid = True
@@ -671,7 +674,7 @@ def rfft_bwd_pallas_tmajor_fused(
     if b % tb:
         raise ValueError(f"batch {b} must be a multiple of tile {tb}")
     if scratch is None:
-        scratch = use_scratch(n, tb)
+        scratch = True  # see forward entry: the split adds live values
     vmem_limit, arbitrary_grid = VMEM_LIMIT, False
     if is_wall_tile(n, tb):
         arbitrary_grid = True
