@@ -351,15 +351,21 @@ def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
         flat = _use_flat_split(plan)
         if backward:
             def fn(sr, si):
+                sr = sr.astype(plan.dtype.type)
+                si = si.astype(plan.dtype.type)
+                fused = _dispatch.fused_real_bwd_route(plan, sr.shape[-1])
+                if fused is not None:
+                    # one-pass kernel: split prep + backward stages fused
+                    wr, wi = fused(sr, si)
+                    return _split.interleave_to_real_split_tmajor(
+                        wr, wi
+                    ).astype(plan.dtype.type)
                 bwd = (
                     _split.real_backward_split_planar_tmajor_flat
                     if flat
                     else _split.real_backward_split_planar_tmajor
                 )
-                zr, zi = bwd(
-                    sr.astype(plan.dtype.type), si.astype(plan.dtype.type),
-                    plan.real_twiddle,
-                )
+                zr, zi = bwd(sr, si, plan.real_twiddle)
                 wr, wi = _dispatch.cfft_dispatch(
                     plan, zr, zi, backward=True, time_major=True
                 )
@@ -369,6 +375,11 @@ def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
         else:
             def fn(x):
                 x = x.astype(plan.dtype.type)
+                fused = _dispatch.fused_real_fwd_route(plan, x.shape[-1])
+                if fused is not None:
+                    # ONE HBM pass: packed input -> stages -> in-VMEM
+                    # split -> packed spectrum (fusedreal_r5.txt)
+                    return fused(x.reshape(plan.engine_n, -1))
                 packed = _dispatch.packed_fwd_route(plan, x.shape[-1])
                 if packed is not None:
                     # zero-copy pack: the kernel reads re/im tiles from

@@ -634,6 +634,66 @@ _MEASURED_TABLE: dict = {
 # real pair LOSES 0.065 vs 0.086).  Filled from realpack_r5.txt.
 _MEASURED_TABLE_REAL: dict = {}
 
+# Fused one-pass real transform route (pallas_fft.rfft_*_tmajor_fused:
+# FFT chain + REAL_FINALIZE/PREPROCESS split in ONE HBM pass via the
+# roll-network mirror, revroll_r5.txt).  Entries are (backend, H) pairs
+# measured to beat the composed path (fusedreal_r5.txt); per-direction
+# because the composed baselines differ (fwd has the packed-input
+# entries, bwd pays the interleave either way).
+_FUSED_REAL_FWD: set = set()
+_FUSED_REAL_BWD: set = set()
+
+
+def record_fused_real(backend: str, h: int, *, forward: bool = True,
+                      backward: bool = True) -> None:
+    """Record measured fused-real wins (bumps the dispatch state key)."""
+
+    global _TABLE_VERSION
+    if forward:
+        _FUSED_REAL_FWD.add((backend, int(h)))
+    if backward:
+        _FUSED_REAL_BWD.add((backend, int(h)))
+    _TABLE_VERSION += 1
+
+
+def _fused_real_common(plan: _plan.Plan, batch: int, table: set):
+    if jax.default_backend() != "tpu":
+        return None
+    if not plan.is_real or plan.dtype != np.float32:
+        return None
+    h = plan.engine_n
+    if h & (h - 1) or (jax.default_backend(), h) not in table:
+        return None
+    pplan = _pallas_plan(plan)
+    if pplan is None:
+        return None
+    tb = _pk.best_tb(h, batch)
+    if tb is None:
+        return None
+    return pplan, tb
+
+
+def fused_real_fwd_route(plan: _plan.Plan, batch: int):
+    """Callable y[H, 2B] -> packed spectrum planes, or None."""
+
+    hit = _fused_real_common(plan, batch, _FUSED_REAL_FWD)
+    if hit is None:
+        return None
+    pplan, tb = hit
+    return lambda y: _pk.rfft_pallas_tmajor_fused(
+        pplan, y, plan.real_twiddle, tb=tb)
+
+
+def fused_real_bwd_route(plan: _plan.Plan, batch: int):
+    """Callable (sr, si) -> planar pre-interleave pair, or None."""
+
+    hit = _fused_real_common(plan, batch, _FUSED_REAL_BWD)
+    if hit is None:
+        return None
+    pplan, tb = hit
+    return lambda sr, si: _pk.rfft_bwd_pallas_tmajor_fused(
+        pplan, sr, si, plan.real_twiddle, tb=tb)
+
 
 _TABLE_VERSION = 0
 
