@@ -637,11 +637,19 @@ _MEASURED_TABLE_REAL: dict = {}
 # Fused one-pass real transform route (pallas_fft.rfft_*_tmajor_fused:
 # FFT chain + REAL_FINALIZE/PREPROCESS split in ONE HBM pass via the
 # roll-network mirror, revroll_r5.txt).  Entries are (backend, H) pairs
-# measured to beat the composed path (fusedreal_r5.txt); per-direction
-# because the composed baselines differ (fwd has the packed-input
-# entries, bwd pays the interleave either way).
-_FUSED_REAL_FWD: set = set()
-_FUSED_REAL_BWD: set = set()
+# measured to beat the composed path (fusedreal_r5.txt, 6 interleaved
+# trials, >=64 MB payloads — real N=1024..8192: fwd 0.309-0.332 vs
+# 0.226-0.267, bwd 0.219-0.265 vs 0.174-0.219, every round a win).
+# H=8192 (real 16384) stays on packed kern2 (0.193 vs the fused direct
+# kernel's 0.150 — tb128 is the direct kernel's slow regime there).
+# Per-direction because the composed baselines differ (fwd has the
+# packed-input entries, bwd pays the interleave either way).
+_FUSED_REAL_FWD: set = {
+    ("tpu", 512), ("tpu", 1024), ("tpu", 2048), ("tpu", 4096),
+}
+_FUSED_REAL_BWD: set = {
+    ("tpu", 512), ("tpu", 1024), ("tpu", 2048), ("tpu", 4096),
+}
 
 
 def record_fused_real(backend: str, h: int, *, forward: bool = True,

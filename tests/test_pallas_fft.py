@@ -168,7 +168,7 @@ def test_tb_policy():
     gate folded in, None when no candidate divides the batch."""
 
     assert pk.tb_candidates(256)[0] == 1024
-    assert pk.tb_candidates(512)[0] == 384
+    assert pk.tb_candidates(512)[0] == 512  # front_r5.txt: 0.801 med
     # round 4 (vmem_r4.txt): the scoped-VMEM limit raise unlocked wide
     # tiles across the band — the compile ceiling is n*tb <= 1M elements
     assert pk.tb_candidates(1024)[0] == 1024
