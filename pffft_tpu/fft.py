@@ -360,12 +360,18 @@ def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
                     return _split.interleave_to_real_split_tmajor(
                         wr, wi
                     ).astype(plan.dtype.type)
-                bwd = (
-                    _split.real_backward_split_planar_tmajor_flat
-                    if flat
-                    else _split.real_backward_split_planar_tmajor
+                skern = _dispatch.real_split_kernel_route(
+                    plan, sr.shape[-1], True
                 )
-                zr, zi = bwd(sr, si, plan.real_twiddle)
+                if skern is not None:
+                    zr, zi = skern(sr, si)
+                else:
+                    bwd = (
+                        _split.real_backward_split_planar_tmajor_flat
+                        if flat
+                        else _split.real_backward_split_planar_tmajor
+                    )
+                    zr, zi = bwd(sr, si, plan.real_twiddle)
                 wr, wi = _dispatch.cfft_dispatch(
                     plan, zr, zi, backward=True, time_major=True
                 )
@@ -390,6 +396,11 @@ def _jitted_split_tmajor(plan: Plan, backward: bool, ekey=None):
                     zr, zi = _dispatch.cfft_dispatch(
                         plan, zr, zi, backward=False, time_major=True
                     )
+                skern = _dispatch.real_split_kernel_route(
+                    plan, x.shape[-1], False
+                )
+                if skern is not None:
+                    return skern(zr, zi)
                 fwd = (
                     _split.real_forward_split_planar_tmajor_flat
                     if flat

@@ -703,6 +703,34 @@ def fused_real_bwd_route(plan: _plan.Plan, batch: int):
         pplan, sr, si, plan.real_twiddle, tb=tb)
 
 
+# Standalone one-pass split-step kernel (pallas_fft.real_split_tmajor_
+# pallas) for sizes whose FFT rides kern2 and cannot absorb the split
+# (H >= 8192).  (backend, H) rows from realsplit2_r5 races.
+_SPLIT_KERNEL_REAL: set = set()
+
+
+def record_split_kernel_real(backend: str, h: int) -> None:
+    global _TABLE_VERSION
+    _SPLIT_KERNEL_REAL.add((backend, int(h)))
+    _TABLE_VERSION += 1
+
+
+def real_split_kernel_route(plan: _plan.Plan, batch: int, backward: bool):
+    """Callable (zr, zi) -> split-step output planes, or None."""
+
+    if jax.default_backend() != "tpu":
+        return None
+    if not plan.is_real or plan.dtype != np.float32:
+        return None
+    h = plan.engine_n
+    if h & (h - 1) or (jax.default_backend(), h) not in _SPLIT_KERNEL_REAL:
+        return None
+    if batch % 128:
+        return None
+    return lambda zr, zi: _pk.real_split_tmajor_pallas(
+        zr, zi, plan.real_twiddle, backward=backward)
+
+
 _TABLE_VERSION = 0
 
 # Fused spectral-convolution kernel route (ops/conv_kernel.py): one HBM

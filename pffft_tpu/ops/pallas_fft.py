@@ -440,6 +440,42 @@ def _mirror_rows(x, n: int):
     return pltpu.roll(_rev_roll(x, n, 0), 1, 0)
 
 
+def _fwd_split_block(zr, zi, wr, wi, n: int):
+    """REAL_FINALIZE combine on a full-column [n, tb] block (flat form of
+    split.real_forward_split_planar_tmajor_flat, mirror via rolls)."""
+
+    a = 0.5 * (1.0 + wi)
+    b = 0.5 * wr
+    c = 0.5 * (1.0 - wi)
+    fr = _mirror_rows(zr, n)
+    fi = _mirror_rows(zi, n)
+    xr = a * zr + b * zi + c * fr + b * fi
+    xi = -b * zr + a * zi + b * fr - c * fi
+    is0 = lax.broadcasted_iota(jnp.int32, zr.shape, 0) == 0
+    return (
+        jnp.where(is0, zr + zi, xr),
+        jnp.where(is0, zr - zi, xi),
+    )
+
+
+def _bwd_prep_block(sr, si, wr, wi, n: int):
+    """REAL_PREPROCESS combine on a full-column [n, tb] block."""
+
+    fsr = _mirror_rows(sr, n)
+    fsi = _mirror_rows(si, n)
+    is0 = lax.broadcasted_iota(jnp.int32, sr.shape, 0) == 0
+    xar = sr
+    xai = jnp.where(is0, 0.0, si)
+    xbr = jnp.where(is0, si, fsr)
+    xbi = jnp.where(is0, 0.0, fsi)
+    p = 1.0 + wi
+    q = 1.0 - wi
+    r_ = wr
+    zr = p * xar - r_ * xai + q * xbr - r_ * xbi
+    zi = r_ * xar + p * xai - r_ * xbr - q * xbi
+    return zr, zi
+
+
 def _make_kernel_real_fused(n: int, stages: Sequence, backward: bool,
                             scratch: bool):
     """FFT chain + real split step in ONE kernel ([n, tb] blocks).
@@ -457,33 +493,10 @@ def _make_kernel_real_fused(n: int, stages: Sequence, backward: bool,
     ns = len(active)
 
     def fwd_split(zr, zi, wr, wi):
-        a = 0.5 * (1.0 + wi)
-        b = 0.5 * wr
-        c = 0.5 * (1.0 - wi)
-        fr = _mirror_rows(zr, n)
-        fi = _mirror_rows(zi, n)
-        xr = a * zr + b * zi + c * fr + b * fi
-        xi = -b * zr + a * zi + b * fr - c * fi
-        is0 = lax.broadcasted_iota(jnp.int32, zr.shape, 0) == 0
-        return (
-            jnp.where(is0, zr + zi, xr),
-            jnp.where(is0, zr - zi, xi),
-        )
+        return _fwd_split_block(zr, zi, wr, wi, n)
 
     def bwd_prep(sr, si, wr, wi):
-        fsr = _mirror_rows(sr, n)
-        fsi = _mirror_rows(si, n)
-        is0 = lax.broadcasted_iota(jnp.int32, sr.shape, 0) == 0
-        xar = sr
-        xai = jnp.where(is0, 0.0, si)
-        xbr = jnp.where(is0, si, fsr)
-        xbi = jnp.where(is0, 0.0, fsi)
-        p = 1.0 + wi
-        q = 1.0 - wi
-        r_ = wr
-        zr = p * xar - r_ * xai + q * xbr - r_ * xbi
-        zi = r_ * xar + p * xai - r_ * xbr - q * xbi
-        return zr, zi
+        return _bwd_prep_block(sr, si, wr, wi, n)
 
     def run_chain(ar, ai, tw):
         ar = ar.reshape(1, n, ar.shape[-1])
@@ -689,6 +702,84 @@ def rfft_bwd_pallas_tmajor_fused(
         np.ascontiguousarray(twi, np.float32).tobytes(),
         vmem_limit, arbitrary_grid)
     return call(sr, si)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_real_split(n: int, tb: int, backward: bool, interpret: bool,
+                      twr_b: bytes, twi_b: bytes,
+                      vmem_limit: int | None, arbitrary_grid: bool):
+    wr = np.frombuffer(twr_b, dtype=np.float32).reshape(n, 1)
+    wi = np.frombuffer(twi_b, dtype=np.float32).reshape(n, 1)
+    w_spec = pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((n, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
+    step = _bwd_prep_block if backward else _fwd_split_block
+
+    def kernel(wr_ref, wi_ref, ar_ref, ai_ref, or_ref, oi_ref):
+        xr, xi = step(ar_ref[:], ai_ref[:], wr_ref[:], wi_ref[:], n)
+        or_ref[:] = xr
+        oi_ref[:] = xi
+
+    def call(ar, ai):
+        b = ar.shape[-1]
+        grid = (b // tb,)
+        params = {}
+        if not interpret and (vmem_limit or arbitrary_grid):
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(vmem_limit) if vmem_limit else None,
+                dimension_semantics=("arbitrary",) if arbitrary_grid
+                else None,
+            )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[w_spec, w_spec, d_spec, d_spec],
+            out_specs=[d_spec, d_spec],
+            out_shape=[jax.ShapeDtypeStruct((n, b), jnp.float32)] * 2,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=16 * n * b, bytes_accessed=4 * 4 * n * b,
+                transcendentals=0),
+            **params,
+        )(jnp.asarray(wr), jnp.asarray(wi), ar, ai)
+
+    return call
+
+
+def real_split_tmajor_pallas(
+    zr: jax.Array, zi: jax.Array, real_twiddle, *, backward: bool = False,
+    tb: int | None = None, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """ONE-pass real split step on tmajor planes [H, B] (pow2 H).
+
+    The whole transform column sits in VMEM per grid step, so the
+    Hermitian mirror is a free in-VMEM roll network — one read + one
+    write per plane where the flat jnp form costs ~2.7 passes
+    (realanat_r5.txt).  Serves the kern2-routed sizes (H >= 8192) whose
+    FFT passes can't absorb the split.  Forward == flat forward; backward
+    == flat backward (returns the same 2*Z convention)."""
+
+    n, b = zr.shape
+    if n & (n - 1):
+        raise ValueError(f"split kernel needs pow2 H, got {n}")
+    if tb is None:
+        tb = 128 if b % 128 == 0 else None
+        if tb is None:
+            raise ValueError(f"batch {b} must be a multiple of 128")
+    vmem_limit, arbitrary_grid = VMEM_LIMIT, False
+    if is_wall_tile(n, tb):
+        # the split kernel's live set is ~6 blocks (no stage chain) but
+        # n*tb > 1M still needs the no-double-buffer wall config
+        arbitrary_grid = True
+        vmem_limit = WALL_VMEM_LIMIT
+    from . import split as _split
+
+    twr, twi = _split._split_real_tw(real_twiddle)
+    call = _build_real_split(
+        n, tb, backward, interpret,
+        np.ascontiguousarray(twr, np.float32).tobytes(),
+        np.ascontiguousarray(twi, np.float32).tobytes(),
+        vmem_limit, arbitrary_grid)
+    return call(zr, zi)
 
 
 def supported(plan: _plan.Plan) -> bool:

@@ -678,6 +678,36 @@ def test_fused_real_kernel_matches_composed(n):
     assert float(jnp.abs(xr / n - x).max()) < 1e-4
 
 
+@pytest.mark.parametrize("backward", [False, True])
+def test_real_split_kernel_matches_flat(backward):
+    """The standalone one-pass split kernel == the flat jnp form."""
+
+    import jax.numpy as jnp
+
+    import pffft_tpu as pf
+    from pffft_tpu.ops import pallas_fft as pk
+    from pffft_tpu.ops import split as sp
+
+    rng = np.random.default_rng(11)
+    n, b = 2048, 256
+    h = n // 2
+    rplan = pf.new_setup(n, pf.REAL)
+    zr = jnp.asarray(rng.standard_normal((h, b)).astype(np.float32))
+    zi = jnp.asarray(rng.standard_normal((h, b)).astype(np.float32))
+    kr, ki = pk.real_split_tmajor_pallas(
+        zr, zi, rplan.real_twiddle, backward=backward, tb=128,
+        interpret=True)
+    flat = (
+        sp.real_backward_split_planar_tmajor_flat
+        if backward
+        else sp.real_forward_split_planar_tmajor_flat
+    )
+    fr, fi = flat(zr, zi, rplan.real_twiddle)
+    scale = float(jnp.abs(fr).max())
+    assert float(jnp.abs(kr - fr).max()) < 1e-5 * scale
+    assert float(jnp.abs(ki - fi).max()) < 1e-5 * scale
+
+
 def test_real_measured_table_overrides_complex_row():
     """A real-plan row in _MEASURED_TABLE_REAL wins over the complex row
     at the same engine length; complex plans never see it."""
