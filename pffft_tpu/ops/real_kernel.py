@@ -8,14 +8,15 @@ mirror (a flip) into the elementwise combine, and the composed jnp split
 step measures ~5 HBM passes (real_anatomy_r4.txt: 0.093 SoL at N=2^20-21
 — the post-step costs 70% of the half-length engine itself).
 
-**Backend status (round 4):** BLOCKED on the axon TPU service — Mosaic's
-TPU lowering has no `rev` primitive (probed: both lane and sublane
-reversal fail with "Unimplemented primitive ... rev"; `pltpu.roll` and
-offset lane slices DO lower), so the in-VMEM mirror reversal below
-cannot compile on hardware.  The kernel stays interpret-validated as the
-design record; production routes the flat-FMA jnp split step instead
-(ops/split.py real_*_flat — one flip pass + one fused FMA pass,
-fft.py:_use_flat_split).
+**Backend status (round 5):** UNBLOCKED.  Mosaic still has no `rev`
+primitive, but reversal = XOR of the index with (hb-1), emulated with
+log2(hb) roll-pairs + selects (pallas_fft._rev_roll) — measured on chip
+to lower on both axes and run at the stream-copy ceiling
+(revroll_r5.txt).  The mirror below now uses the roll network; the
+time-major path additionally gets the FULLY fused FFT+split kernels
+(pallas_fft.rfft_*_tmajor_fused, routed at H=512..4096) and the
+standalone one-pass split kernel (real_split_tmajor_pallas) — this
+batch-major 3-view kernel serves the batch-major layout at H >= 2^14.
 
 This kernel does the whole step in one pass.  The Hermitian pairing
 k <-> (H - k) mod H is block-misaligned by exactly one column, so each
@@ -90,8 +91,8 @@ def _make_kernel(h: int, hb: int, backward: bool):
         zi = fi_ref[:]
         catr = jnp.concatenate([b1r_ref[:], b2r_ref[:]], axis=-1)
         cati = jnp.concatenate([b1i_ref[:], b2i_ref[:]], axis=-1)
-        mr = catr[:, 1 : hb + 1][:, ::-1]   # z[(H - k) mod H].re
-        mi = cati[:, 1 : hb + 1][:, ::-1]
+        mr = _pk._rev_roll(catr[:, 1 : hb + 1], hb, 1)  # z[(H-k) mod H].re
+        mi = _pk._rev_roll(cati[:, 1 : hb + 1], hb, 1)
         cr, ci = mr, -mi                    # conj(z[H-k])
         er, ei = 0.5 * (zr + cr), 0.5 * (zi + ci)
         orr, oi = 0.5 * (zi - ci), -0.5 * (zr - cr)
@@ -118,8 +119,8 @@ def _make_kernel(h: int, hb: int, backward: bool):
         xai = jnp.where(is0, 0.0, si)
         catr = jnp.concatenate([b1r_ref[:], b2r_ref[:]], axis=-1)
         cati = jnp.concatenate([b1i_ref[:], b2i_ref[:]], axis=-1)
-        xbr = catr[:, 1 : hb + 1][:, ::-1]   # xa[(H - k) mod H]
-        xbi = cati[:, 1 : hb + 1][:, ::-1]
+        xbr = _pk._rev_roll(catr[:, 1 : hb + 1], hb, 1)  # xa[(H-k) mod H]
+        xbi = _pk._rev_roll(cati[:, 1 : hb + 1], hb, 1)
         # mirror element at k=0 is xa[0] = (dc, nyq-in-im): the backward
         # prepare wants xb[0] = (nyq, 0) — rewrite from the front block's
         # own column 0 (global bin0 holds nyq in the imag lane)
