@@ -85,11 +85,27 @@ def main():
             y = sp.interleave_to_real_split_tmajor(wr, wi)
             return y[:h], y[h:]
 
+        # the sweep measures PAIRS, and at these sizes the pair costs
+        # ~2.3x the sum of the measured parts (sweep_r5b 0.072 vs
+        # realpack fwd 0.202 + bwd 0.141 at N=16384) — race the pair
+        # compositions too
+        def pair_flat(v):
+            s = fwd_flat(v)
+            a, c = bwd_flat(s[:h], s[h:])
+            return jnp.concatenate([a, c], axis=0)
+
+        def pair_skern(v):
+            s = fwd_skern(v)
+            a, c = bwd_skern(s[:h], s[h:])
+            return jnp.concatenate([a, c], axis=0)
+
         variants = {
             "fwd_flat": (fwd_flat, (x,)),
             "fwd_skern": (fwd_skern, (x,)),
             "bwd_flat": (bwd_flat, (zr, zi)),
             "bwd_skern": (bwd_skern, (zr, zi)),
+            "pair_flat": (pair_flat, (x,)),
+            "pair_skern": (pair_skern, (x,)),
         }
 
         ref = np.fft.rfft(np.asarray(x[:, :2]).astype(np.float64), axis=0)
