@@ -151,6 +151,21 @@ def best_tb(n: int, batch: int) -> int | None:
     return None
 
 
+def best_tb_ragged(n: int, batch: int) -> int | None:
+    """Best tile for a batch NO candidate divides: the grid gets a
+    masked edge block (Mosaic pads partial blocks; the FFT is column-
+    independent so padding lanes never contaminate data lanes).  Prefers
+    the widest tile that keeps edge waste under ~25% of the batch."""
+
+    for tb in tb_candidates(n):
+        if (n, tb) in _TB_FAILED:
+            continue
+        waste = (-batch) % tb
+        if waste * 4 <= batch:
+            return tb
+    return None
+
+
 # Measured scratch-vs-unrolled preference (scratch_r4.txt): the ping-pong
 # chain TIES the unrolled chain at N<=4096 (medians within noise) and is
 # REQUIRED at N>=8192, where the unrolled chain's live SSA values blow the
@@ -874,7 +889,9 @@ def _build(plan: _plan.Plan, backward: bool, tb: int, interpret: bool,
 
     def call(re, im):
         b = re.shape[-1]
-        grid = (b // tb,)
+        # ragged batches get a masked edge block (grid = ceil(b/tb));
+        # the chain is column-independent so padding lanes stay inert
+        grid = (-(-b // tb),)
         out_shape = [
             jax.ShapeDtypeStruct((n, b), jnp.float32),
             jax.ShapeDtypeStruct((n, b), jnp.float32),
@@ -938,8 +955,8 @@ def cfft_pallas_tmajor(
     n, b = re.shape[-2], re.shape[-1]
     if n != plan.engine_n:
         raise ValueError(f"data length {n} != plan engine length {plan.engine_n}")
-    if b % tb:
-        raise ValueError(f"batch {b} must be a multiple of tile {tb}")
+    # b % tb != 0 is allowed: the grid gets a masked edge block (see
+    # _build.call) — the dispatcher gates ragged routing separately
     if inner and tb % inner:
         raise ValueError(f"tile {tb} must be a multiple of inner chunk {inner}")
     if is_wall_tile(n, tb):
