@@ -73,9 +73,17 @@ def test_pallas_batch_major_wrapper():
 
 def test_pallas_rejects_bad_shapes():
     plan = pf.new_setup(1024, pf.COMPLEX, max_factor=5)
-    x = jnp.zeros((1024, 100), jnp.float32)  # batch not a tile multiple
-    with pytest.raises(ValueError):
-        pk.cfft_pallas_tmajor(plan, x, x, interpret=True)
+    # ragged batches are ACCEPTED since r5 (masked edge block) — the
+    # ragged column must still be exact
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1024, 100)).astype(
+            np.float32))
+    sr, si = pk.cfft_pallas_tmajor(plan, x, x, tb=128, interpret=True)
+    ref = np.fft.fft(
+        np.asarray(x[:, -1]).astype(np.float64) * (1 + 1j))
+    got = np.asarray(sr[:, -1]).astype(np.float64) + 1j * np.asarray(
+        si[:, -1])
+    assert np.abs(got - ref).max() < 2e-5 * np.abs(ref).max()
     y = jnp.zeros((512, 128), jnp.float32)  # wrong length
     with pytest.raises(ValueError):
         pk.cfft_pallas_tmajor(plan, y, y, interpret=True)
