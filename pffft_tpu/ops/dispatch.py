@@ -705,8 +705,13 @@ def fused_real_bwd_route(plan: _plan.Plan, batch: int):
 
 # Standalone one-pass split-step kernel (pallas_fft.real_split_tmajor_
 # pallas) for sizes whose FFT rides kern2 and cannot absorb the split
-# (H >= 8192).  (backend, H) rows from realsplit2_r5 races.
-_SPLIT_KERNEL_REAL: set = set()
+# (H >= 8192).  realsplit2_r5.txt at H=8192: fwd 0.269 vs the flat
+# form's 0.197, and the PAIR (the flat split sandwiched between pallas
+# calls in one jit hits an XLA relayout pathology: 0.035 vs the
+# parts-ideal 0.081) recovers to 0.075 with the kernel on both sides.
+# H >= 16384 is a 2M-element wall tile and fails the remote compile
+# (HTTP 500) — stays flat.
+_SPLIT_KERNEL_REAL: set = {("tpu", 8192)}
 
 
 def record_split_kernel_real(backend: str, h: int) -> None:
