@@ -760,6 +760,85 @@ def _build_real_split(n: int, tb: int, backward: bool, interpret: bool,
     return call
 
 
+@functools.lru_cache(maxsize=128)
+def _build_real_split_blocked(n: int, hb: int, tb: int, backward: bool,
+                              interpret: bool, twr_b: bytes, twi_b: bytes):
+    """Blocked-row split kernel: [hb, tb] blocks, the mirror built from
+    the two back row-blocks (the 3-view scheme of ops/real_kernel.py on
+    the SUBLANE axis) — hb*tb stays inside the compile envelope where
+    the full-column kernel is a failing 2M wall tile (H >= 16384)."""
+
+    nb = n // hb
+    wr = np.frombuffer(twr_b, dtype=np.float32).reshape(n, 1)
+    wi = np.frombuffer(twi_b, dtype=np.float32).reshape(n, 1)
+    w_spec = pl.BlockSpec((hb, 1), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    front = pl.BlockSpec((hb, tb), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    back1 = pl.BlockSpec((hb, tb), lambda i, j: (nb - 1 - i, j),
+                         memory_space=pltpu.VMEM)
+    back2 = pl.BlockSpec((hb, tb), lambda i, j: ((nb - i) % nb, j),
+                         memory_space=pltpu.VMEM)
+
+    def kernel(wr_ref, wi_ref, fr_ref, fi_ref, b1r, b1i, b2r, b2i,
+               or_ref, oi_ref):
+        i = pl.program_id(0)
+        catr = jnp.concatenate([b1r[:], b2r[:]], axis=0)  # [2hb, tb]
+        cati = jnp.concatenate([b1i[:], b2i[:]], axis=0)
+        # mirror[t] = z[(H - (i*hb + t)) mod H] = rev(cat[1 : hb+1])
+        mr = _rev_roll(catr[1 : hb + 1], hb, 0)
+        mi = _rev_roll(cati[1 : hb + 1], hb, 0)
+        wr_ = wr_ref[:]
+        wi_ = wi_ref[:]
+        row = lax.broadcasted_iota(jnp.int32, fr_ref.shape, 0)
+        is0 = (row == 0) & (i == 0)
+        if backward:
+            sr = fr_ref[:]
+            si = fi_ref[:]
+            xar = sr
+            xai = jnp.where(is0, 0.0, si)
+            xbr = jnp.where(is0, si, mr)
+            xbi = jnp.where(is0, 0.0, mi)
+            p = 1.0 + wi_
+            q = 1.0 - wi_
+            r_ = wr_
+            or_ref[:] = p * xar - r_ * xai + q * xbr - r_ * xbi
+            oi_ref[:] = r_ * xar + p * xai - r_ * xbr - q * xbi
+        else:
+            zr = fr_ref[:]
+            zi = fi_ref[:]
+            a = 0.5 * (1.0 + wi_)
+            b_ = 0.5 * wr_
+            c = 0.5 * (1.0 - wi_)
+            xr = a * zr + b_ * zi + c * mr + b_ * mi
+            xi = -b_ * zr + a * zi + b_ * mr - c * mi
+            or_ref[:] = jnp.where(is0, zr + zi, xr)
+            oi_ref[:] = jnp.where(is0, zr - zi, xi)
+
+    def call(ar, ai):
+        b = ar.shape[-1]
+        grid = (nb, b // tb)
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(VMEM_LIMIT))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[w_spec, w_spec, front, front,
+                      back1, back1, back2, back2],
+            out_specs=[front, front],
+            out_shape=[jax.ShapeDtypeStruct((n, b), jnp.float32)] * 2,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=16 * n * b, bytes_accessed=8 * 4 * n * b,
+                transcendentals=0),
+            **params,
+        )(jnp.asarray(wr), jnp.asarray(wi), ar, ai, ar, ai, ar, ai)
+
+    return call
+
+
 def real_split_tmajor_pallas(
     zr: jax.Array, zi: jax.Array, real_twiddle, *, backward: bool = False,
     tb: int | None = None, interpret: bool = False,
@@ -780,20 +859,23 @@ def real_split_tmajor_pallas(
         tb = 128 if b % 128 == 0 else None
         if tb is None:
             raise ValueError(f"batch {b} must be a multiple of 128")
-    vmem_limit, arbitrary_grid = VMEM_LIMIT, False
-    if is_wall_tile(n, tb):
-        # the split kernel's live set is ~6 blocks (no stage chain) but
-        # n*tb > 1M still needs the no-double-buffer wall config
-        arbitrary_grid = True
-        vmem_limit = WALL_VMEM_LIMIT
     from . import split as _split
 
     twr, twi = _split._split_real_tw(real_twiddle)
+    twr_b = np.ascontiguousarray(twr, np.float32).tobytes()
+    twi_b = np.ascontiguousarray(twi, np.float32).tobytes()
+    if is_wall_tile(n, tb):
+        # full-column tiles past the envelope FAIL the remote compile
+        # (realsplit2_r5: HTTP 500 at H=16384/tb128 even with the wall
+        # config) — the blocked 3-view form stays inside it
+        hb = n
+        while hb * tb > _SAFE_ELEMS // 2 and hb % 2 == 0:
+            hb //= 2
+        call = _build_real_split_blocked(
+            n, hb, tb, backward, interpret, twr_b, twi_b)
+        return call(zr, zi)
     call = _build_real_split(
-        n, tb, backward, interpret,
-        np.ascontiguousarray(twr, np.float32).tobytes(),
-        np.ascontiguousarray(twi, np.float32).tobytes(),
-        vmem_limit, arbitrary_grid)
+        n, tb, backward, interpret, twr_b, twi_b, VMEM_LIMIT, False)
     return call(zr, zi)
 
 

@@ -687,8 +687,10 @@ def test_fused_real_kernel_matches_composed(n):
 
 
 @pytest.mark.parametrize("backward", [False, True])
-def test_real_split_kernel_matches_flat(backward):
-    """The standalone one-pass split kernel == the flat jnp form."""
+@pytest.mark.parametrize("blocked", [False, True])
+def test_real_split_kernel_matches_flat(backward, blocked):
+    """The standalone one-pass split kernel == the flat jnp form, in
+    both the full-column and the blocked 3-view (wall-avoiding) forms."""
 
     import jax.numpy as jnp
 
@@ -702,9 +704,19 @@ def test_real_split_kernel_matches_flat(backward):
     rplan = pf.new_setup(n, pf.REAL)
     zr = jnp.asarray(rng.standard_normal((h, b)).astype(np.float32))
     zi = jnp.asarray(rng.standard_normal((h, b)).astype(np.float32))
-    kr, ki = pk.real_split_tmajor_pallas(
-        zr, zi, rplan.real_twiddle, backward=backward, tb=128,
-        interpret=True)
+    if blocked:
+        from pffft_tpu.ops import split as _s
+
+        twr, twi = _s._split_real_tw(rplan.real_twiddle)
+        call = pk._build_real_split_blocked(
+            h, h // 4, 128, backward, True,
+            np.ascontiguousarray(twr, np.float32).tobytes(),
+            np.ascontiguousarray(twi, np.float32).tobytes())
+        kr, ki = call(zr, zi)
+    else:
+        kr, ki = pk.real_split_tmajor_pallas(
+            zr, zi, rplan.real_twiddle, backward=backward, tb=128,
+            interpret=True)
     flat = (
         sp.real_backward_split_planar_tmajor_flat
         if backward
